@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   -> flagship per-tile tree-detection pipeline (SURVEY.md §3.1)
+queries()      -> operator registry (SURVEY.md §2) — see lidartree_spark.queries
+oracle_sql()   -> DuckDB-equivalent SQL for the SQL-expressible operators
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: synthesize a deterministic
+    tile grid sized from the testdata, run decode -> tree_segmentation ->
+    tree_extraction per tile (zero-shuffle mapInPandas), match detections
+    against the synthetic field inventory and return matched pairs joined
+    with per-tile confusion counts."""
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.operators.matching import detection_counts, match_trees
+    from lidartree_spark.operators.tiles import synthetic_ref_trees, synthetic_tiles
+
+    sf_dir = "/root/testdata/sf0.001"
+    # seed grid size from the testdata scale (keeps entry() tied to the input)
+    n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    side = max(2, min(8, int(n_parts ** 0.5 // 16) or 2))
+    tiles = synthetic_tiles(spark, side, side)
+    det = detect_trees(tiles)
+    ref = synthetic_ref_trees(spark, side, side)
+    matched = match_trees(ref, det)
+    counts = detection_counts(ref, det, matched)
+    return matched.join(counts, "image_id", "left")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    from lidartree_spark.queries import queries as _q
+    return _q()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from lidartree_spark.queries import oracle_sql as _o
+    return _o()

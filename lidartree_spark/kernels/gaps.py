@@ -1,0 +1,83 @@
+"""Gap detection + edge detection kernels.
+
+Re-derivation of /root/reference/R/gap_detection.R:142-291.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lidartree_spark.kernels.detection import dem_filtering
+from lidartree_spark.kernels.morphology import (
+    create_disk,
+    grey_closing,
+    grey_dilate,
+    grey_erode,
+)
+from lidartree_spark.kernels.segmentation import label_components
+
+
+def gap_detection(
+    chm: np.ndarray,
+    res: float = 1.0,
+    ratio: float | None = 2.0,
+    gap_max_height: float = 1.0,
+    min_gap_surface: float = 25.0,
+    max_gap_surface: float = float("inf"),
+    closing_height_bin: float = 1.0,
+    nl_filter: str = "Median",
+    nl_size: int = 3,
+    gap_reconstruct: bool = False,
+) -> dict:
+    """Multi-threshold morphological gap detection (gap_detection.R:142-228).
+
+    Returns dict of layers gap_id (0 = not a gap), gap_surface (NaN outside
+    gaps), filled_chm. Per-height-bin closing disk width
+    floor(i/ratio/res/2)*2+1 (:173-176); gaps = complement of the union of
+    closed masks (:181-183); optional reconstruction into connected low
+    pixels (:184-196); component labeling + surface filter (:199-224).
+    """
+    c = dem_filtering(chm, nl_filter=nl_filter, nl_size=nl_size, sigma=0.0,
+                      res=res)["non_linear_image"]
+    if ratio is None:
+        non_gap = (c > gap_max_height).astype(np.float64)
+    else:
+        non_gap = np.zeros_like(c)
+        top = max(gap_max_height, min(float(c.max()), 60.0))
+        i = gap_max_height
+        while i <= top + 1e-9:
+            binary = (c > i).astype(np.float64)
+            width = int(np.floor(i / ratio / res / 2.0)) * 2 + 1
+            closed = grey_closing(binary, create_disk(width))
+            non_gap = np.maximum(non_gap, closed)
+            i += closing_height_bin
+    gaps = np.abs(non_gap - 1.0)
+
+    if gap_reconstruct:
+        # extend non-closed gaps into connected low pixels (:184-196)
+        candidates = c < gap_max_height
+        labels = label_components(candidates)
+        kept = np.setdiff1d(np.unique(labels * (gaps > 0)), [0])
+        gaps = np.isin(labels, kept).astype(np.float64)
+
+    labels = label_components(gaps > 0).astype(np.float64)
+    counts = np.bincount(labels.astype(np.int64).ravel())
+    surface = counts.astype(np.float64) * res * res
+    gap_surface = np.full(labels.shape, np.nan)
+    pos = labels > 0
+    gap_surface[pos] = surface[labels[pos].astype(np.int64)]
+    # surface filter (:222-224)
+    bad = pos & ((gap_surface < min_gap_surface) | (gap_surface > max_gap_surface))
+    labels[bad] = 0
+    gap_surface[bad] = np.nan
+    labels[labels == 0] = 0
+    return {"gap_id": labels, "gap_surface": gap_surface, "filled_chm": c}
+
+
+def edge_detection(gaps: np.ndarray, inside: bool = True) -> np.ndarray:
+    """Gap edges: erode (inside) or dilate (outside) by a 3px disk, then
+    != with the input (gap_detection.R:274-291)."""
+    g = np.nan_to_num(np.asarray(gaps, dtype=np.float64), nan=0.0)
+    se = create_disk(3)
+    morpho = grey_erode(g, se) if inside else grey_dilate(g, se)
+    return (morpho != g).astype(np.float64)

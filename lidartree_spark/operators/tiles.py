@@ -1,0 +1,133 @@
+"""Tiles source: synthetic corpus materialization + decode invariants.
+
+The `tiles` table (input_hint schema) is generated distributively: the driver
+only plans an id range; every executor regenerates its tiles independently
+from the per-image seed (lidartree_spark.generator). At 10^12 images the same
+plan holds — spark.range partitions the id space, no data moves.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TILES_SCHEMA = ("image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long")
+
+
+def synthetic_tiles(spark: SparkSession, n_rows: int, n_cols: int,
+                    partitions: int | None = None) -> DataFrame:
+    """Materialize an n_rows x n_cols tile grid as a DataFrame.
+
+    Replaces the reference's on-disk LAScatalog (tree_detection.R:94-127):
+    the catalog IS the table; chunking = Spark partitioning.
+    """
+    n = n_rows * n_cols
+    # default: ~3 waves per core so stragglers balance; never fewer rows
+    # than partitions. Scales with the session's parallelism (local[N] or
+    # a real cluster) instead of a fixed constant.
+    parts = partitions or max(1, min(n, spark.sparkContext.defaultParallelism * 3))
+    ids = spark.range(0, n, 1, parts).select(
+        (F.col("id") / n_cols).cast("int").alias("row"),
+        F.pmod(F.col("id"), F.lit(n_cols)).cast("int").alias("col"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lidartree_spark.generator import gen_tile_row
+        for pdf in batches:
+            rows = [gen_tile_row(int(r), int(c))
+                    for r, c in zip(pdf["row"], pdf["col"])]
+            yield pd.DataFrame(rows)
+
+    return ids.mapInPandas(gen, schema=TILES_SCHEMA)
+
+
+def synthetic_ref_trees(spark: SparkSession, n_rows: int, n_cols: int,
+                        partitions: int | None = None) -> DataFrame:
+    """Ground-truth field inventory table (FIXTURES.md §2), same
+    distributed-generation pattern."""
+    n = n_rows * n_cols
+    # default: ~3 waves per core so stragglers balance; never fewer rows
+    # than partitions. Scales with the session's parallelism (local[N] or
+    # a real cluster) instead of a fixed constant.
+    parts = partitions or max(1, min(n, spark.sparkContext.defaultParallelism * 3))
+    ids = spark.range(0, n, 1, parts).select(
+        (F.col("id") / n_cols).cast("int").alias("row"),
+        F.pmod(F.col("id"), F.lit(n_cols)).cast("int").alias("col"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lidartree_spark.generator import gen_ref_trees
+        for pdf in batches:
+            out = []
+            for r, c in zip(pdf["row"], pdf["col"]):
+                out.extend(gen_ref_trees(int(r), int(c)))
+            yield pd.DataFrame(
+                out, columns=["image_id", "tree_id", "x", "y", "h",
+                              "d", "s", "e", "t"])
+        return
+
+    return ids.mapInPandas(
+        gen,
+        schema=("image_id string, tree_id long, x double, y double, h double,"
+                " d double, s string, e int, t int"))
+
+
+def read_tiles(spark: SparkSession, path: str, waves: int = 3) -> DataFrame:
+    """Scan a tiles parquet directory with splits sized for UDF-heavy work.
+
+    Decode+segment costs seconds per MB, so the default 128 MB splits
+    under-parallelize small corpora and the 4 MB file-open cost
+    over-merges many small files. Size splits so every core gets ~`waves`
+    tasks; clamp to [256 KB, 128 MB] so huge corpora still get big scans.
+    """
+    import glob
+    import os as _os
+    total = sum(_os.path.getsize(f) for f in glob.glob(f"{path}/*.parquet"))
+    target = max(262_144, min(134_217_728,
+                 total // max(1, spark.sparkContext.defaultParallelism * waves)))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(target // 8))
+    return spark.read.parquet(path)
+
+
+def decode_check(tiles: DataFrame) -> DataFrame:
+    """Per-row decode invariant check (input_hint): decoded pixels vs the
+    generator ground truth — allclose for lossless, PSNR >= 40 dB for q8 —
+    and caption/phash byte preservation. Vectorized mapInPandas; returns one
+    row per tile with the verdicts (aggregate downstream)."""
+
+    def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from lidartree_spark.codecs import decode_tile, phash64, psnr
+        from lidartree_spark.generator import gen_tile
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                arr = decode_tile(rec.bytes, rec.fmt, rec.w, rec.h)
+                row = int(rec.image_id[1:5])
+                col = int(rec.image_id[6:10])
+                _, truth, _ = gen_tile(row, col, rec.w, rec.h)
+                m = np.isfinite(truth)
+                if rec.fmt == "q8":
+                    ok_pix = bool(psnr(truth, arr) >= 40.0)
+                else:
+                    tol = 0.0 if rec.fmt == "raw_f32" else 1.0 / 256 + 1e-6
+                    ok_pix = bool(np.allclose(arr[m], truth[m], atol=tol)
+                                  and np.isnan(arr[~m]).all())
+                out.append({
+                    "image_id": rec.image_id,
+                    "fmt": rec.fmt,
+                    "pixels_ok": ok_pix,
+                    "phash_ok": bool(phash64(arr) == rec.phash
+                                     or rec.fmt == "q8"),
+                    "caption_len": len(rec.caption),
+                })
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(
+        check, schema=("image_id string, fmt string, pixels_ok boolean, "
+                       "phash_ok boolean, caption_len int"))

@@ -1,0 +1,493 @@
+"""Query registry: every implemented operator from SURVEY.md §2 exposed as a
+(spark_fn, oracle_sql) pair for the driver's DuckDB cross-check.
+
+Conventions for byte-stable Spark<->DuckDB parity:
+- prefer integer-exact arithmetic (counts, integer-valued doubles like
+  l_quantity, quantized embeddings) so aggregation order cannot perturb
+  values;
+- round genuinely-float outputs to 6 decimals ON BOTH SIDES with the same
+  expression shape;
+- alias every computed column identically on both sides;
+- cast floor()/count() results so Spark and DuckDB types agree.
+
+The tile-pipeline operators (detection, segmentation, matching, coreg, gaps)
+are not ANSI-SQL-expressible; they are exposed without an oracle (driver
+records a rows-only check) and are instead validated against the numpy oracle
+in tests/.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        load_views(spark, sf_dir)
+        return spark.sql(sql)
+    return run
+
+
+# ---------------------------------------------------------------------------
+# §2.1 points2DSM — rasterize points -> max-in-cell grid
+# (/root/reference/R/common.R:53-70: cell = max Z of points in cell, extent
+# snapped to multiples of res). Points: events(value, user_id); z = value.
+# Pure Catalyst hash aggregation; at 100 TB this is a single shuffle on the
+# (cx, cy) key with map-side partial max.
+_POINTS2DSM = """
+SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS cx,
+       CAST(FLOOR(CAST(user_id AS DOUBLE) / 5.0) AS BIGINT) AS cy,
+       MAX(value) AS z_max,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM events
+GROUP BY 1, 2
+"""
+
+# §2.7 raster_metrics — re-grid snap (raster_metrics.R:83-84):
+# X = round((x - start - res/2)/res)*res + start + res/2, start=0, res=50.
+# l_quantity is integer-valued -> exact sums.
+_RASTER_METRICS = """
+SELECT CAST(ROUND((l_partkey % 1000 - 25.0) / 50.0, 0) * 50 + 25 AS DOUBLE) AS gx,
+       CAST(ROUND((l_suppkey % 500 - 25.0) / 50.0, 0) * 50 + 25 AS DOUBLE) AS gy,
+       SUM(l_quantity) AS sum_qty,
+       MAX(l_quantity) AS max_qty,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+# §2.3 add_vegetation_indices — per-pixel band algebra
+# (optical_metrics.R:26-91): bands derived from part columns.
+_VEG_INDICES = """
+SELECT p_partkey,
+       ROUND((p_retailprice - p_size) / (p_retailprice + p_size), 6) AS ndvi,
+       ROUND(p_retailprice / p_size, 6) AS sr,
+       ROUND((CAST(p_size AS DOUBLE) - p_retailprice / 100.0)
+             / (CAST(p_size AS DOUBLE) + p_retailprice / 100.0), 6) AS grvi
+FROM part
+WHERE p_size > 0
+"""
+
+# §2.3 Box-Cox transform family (aba.R:393-406, 437-450, 491-498).
+# lambda = 0.5 so the chain uses only sqrt (correctly-rounded IEEE) and
+# +,*,/ — bit-identical across engines; POW is not and flips round(x, 6)
+# at half boundaries.
+_BOXCOX = """
+SELECT l_orderkey, l_linenumber,
+       ROUND((SQRT(l_quantity) - 1) / 0.5, 6) AS bc_05,
+       ROUND(LN(l_quantity), 6) AS bc_0,
+       ROUND((0.5 * ((SQRT(l_quantity) - 1) / 0.5) + 1)
+             * (0.5 * ((SQRT(l_quantity) - 1) / 0.5) + 1), 6) AS bc_inv,
+       ROUND((0.5 * ((SQRT(l_quantity) - 1) / 0.5) + 1)
+             * (0.5 * ((SQRT(l_quantity) - 1) / 0.5) + 1)
+             * (1 + (2.0 * (1 - 0.5)
+                     / (2 * (0.5 * ((SQRT(l_quantity) - 1) / 0.5) + 1)
+                          * (0.5 * ((SQRT(l_quantity) - 1) / 0.5) + 1)))),
+             6) AS bc_inv_bias
+FROM lineitem
+WHERE l_quantity > 0 AND l_orderkey < 1000
+"""
+
+# §2.7 aba_metrics — per-plot point-cloud metrics (metrics.R:130-159):
+# z = l_quantity (integer-valued), plot = l_suppkey, "first returns" =
+# l_linenumber = 1, hmin = 10. Exact percentile (R type-7 == linear
+# interpolation) — NOT percentile_approx (SURVEY.md §2.7 determinism note).
+_ABA_METRICS = """
+SELECT l_suppkey AS plot_id,
+       ROUND(AVG(CASE WHEN l_quantity >= 10 AND l_linenumber = 1
+                      THEN l_quantity END), 6) AS mCH,
+       ROUND(STDDEV_SAMP(CASE WHEN l_quantity >= 10 AND l_linenumber = 1
+                              THEN l_quantity END), 6) AS sdCH,
+       CAST(COUNT(*) AS BIGINT) AS ntot,
+       ROUND(CAST(SUM(CASE WHEN l_quantity >= 10 AND l_linenumber = 1
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(CASE WHEN l_linenumber = 1 THEN 1 ELSE 0 END), 6) AS p_1st_hmin,
+       ROUND(CAST(SUM(CASE WHEN l_quantity >= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS p_hmin,
+       MAX(l_quantity) AS zmax,
+       ROUND(AVG(l_quantity), 6) AS zmean,
+       ROUND(STDDEV_SAMP(l_quantity), 6) AS zsd
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+# quantile vector variant: exact type-7 percentiles per plot.
+_ABA_QUANTILES_SPARK = """
+SELECT l_suppkey AS plot_id,
+       ROUND(percentile(l_quantity, 0.25), 6) AS zq25,
+       ROUND(percentile(l_quantity, 0.50), 6) AS zq50,
+       ROUND(percentile(l_quantity, 0.75), 6) AS zq75,
+       ROUND(percentile(l_quantity, 0.95), 6) AS zq95
+FROM lineitem
+GROUP BY l_suppkey
+"""
+_ABA_QUANTILES_DUCK = """
+SELECT l_suppkey AS plot_id,
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS zq25,
+       ROUND(quantile_cont(l_quantity, 0.50), 6) AS zq50,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS zq75,
+       ROUND(quantile_cont(l_quantity, 0.95), 6) AS zq95
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+# §2.7 std_tree_metrics (metrics.R:200-214): gini via the sort-rank formula
+# sum((2i - n - 1) h_i) / (n sum h) — window row_number, integer-exact.
+_STD_TREE_METRICS = """
+WITH ranked AS (
+  SELECT l_suppkey AS plot_id, l_quantity AS h,
+         ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_quantity) AS i,
+         COUNT(*) OVER (PARTITION BY l_suppkey) AS n
+  FROM lineitem
+)
+SELECT plot_id,
+       ROUND(AVG(h), 6) AS tree_meanh,
+       ROUND(STDDEV_SAMP(h), 6) AS tree_sdh,
+       ROUND(SUM((2.0 * i - n - 1) * h) / (MAX(n) * SUM(h)), 6) AS tree_ginih,
+       CAST(SUM(CASE WHEN h <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS treeinf10,
+       CAST(SUM(CASE WHEN h > 20 THEN 1 ELSE 0 END) AS BIGINT) AS treesup20,
+       CAST(SUM(CASE WHEN h > 30 THEN 1 ELSE 0 END) AS BIGINT) AS treesup30
+FROM ranked
+GROUP BY plot_id
+"""
+
+# §2.6 matching via mutual nearest neighbors (SQL-expressible surrogate for
+# the greedy loop; the exact greedy semantics live in q_match_trees_greedy,
+# checked rows-only + pytest). ref = customer-derived, det = supplier-derived
+# synthetic positions; rmax = 20.
+_MUTUAL_NN = """
+WITH ref AS (
+  SELECT c_custkey AS rid, (c_custkey % 97) * 1.0 AS x,
+         (c_custkey % 89) * 1.0 AS y, c_acctbal / 100.0 AS h
+  FROM customer WHERE c_custkey <= 400
+), det AS (
+  SELECT s_suppkey AS did, (s_suppkey % 97) * 1.0 AS x,
+         (s_suppkey % 89) * 1.0 AS y, s_acctbal / 100.0 AS h
+  FROM supplier
+), pairs AS (
+  SELECT r.rid, d.did,
+         (r.x - d.x) * (r.x - d.x) + (r.y - d.y) * (r.y - d.y) AS d2
+  FROM ref r JOIN det d
+    ON ABS(r.x - d.x) <= 20 AND ABS(r.y - d.y) <= 20
+  WHERE (r.x - d.x) * (r.x - d.x) + (r.y - d.y) * (r.y - d.y) <= 400
+), best_r AS (
+  SELECT rid, did, d2,
+         ROW_NUMBER() OVER (PARTITION BY rid ORDER BY d2, did) AS rk
+  FROM pairs
+), best_d AS (
+  SELECT rid, did,
+         ROW_NUMBER() OVER (PARTITION BY did ORDER BY d2, rid) AS rk
+  FROM pairs
+)
+SELECT r.rid, r.did, ROUND(SQRT(r.d2), 6) AS plan_diff
+FROM best_r r JOIN best_d d ON r.rid = d.rid AND r.did = d.did
+WHERE r.rk = 1 AND d.rk = 1
+"""
+
+# §2.5 hist_detection confusion counts from the mutual-NN matching
+# (tree_match.R:201-232): anti-join counts.
+_HIST_DETECTION = f"""
+WITH matched AS ({_MUTUAL_NN})
+SELECT CAST((SELECT COUNT(*) FROM matched) AS BIGINT) AS true_detections,
+       CAST((SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
+             (SELECT 1 FROM matched m WHERE m.did = s.s_suppkey)) AS BIGINT)
+           AS false_detections,
+       CAST((SELECT COUNT(*) FROM customer c WHERE c.c_custkey <= 400
+             AND NOT EXISTS
+             (SELECT 1 FROM matched m WHERE m.rid = c.c_custkey)) AS BIGINT)
+           AS omissions
+"""
+
+# §2.6 height_regression — closed-form lm(Hm ~ Hl) + error stats
+# (tree_match.R:303-353) over mutual-NN matched pairs.
+_HEIGHT_REGRESSION = f"""
+WITH matched AS ({_MUTUAL_NN}),
+hs AS (
+  SELECT c.c_acctbal / 100.0 AS hm, s.s_acctbal / 100.0 AS hl
+  FROM matched m
+  JOIN customer c ON c.c_custkey = m.rid
+  JOIN supplier s ON s.s_suppkey = m.did
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND((AVG(hl * hm) - AVG(hl) * AVG(hm))
+             / (AVG(hl * hl) - AVG(hl) * AVG(hl)), 6) AS slope,
+       ROUND(AVG(hm) - (AVG(hl * hm) - AVG(hl) * AVG(hm))
+             / (AVG(hl * hl) - AVG(hl) * AVG(hl)) * AVG(hl), 6) AS intercept,
+       ROUND(SQRT(AVG((hl - hm) * (hl - hm))), 6) AS rmse,
+       ROUND(AVG(hl - hm), 6) AS bias
+FROM hs
+"""
+
+# §2.6 point-in-polygon join — rectangles derived from nation; points from
+# customer; half-open [min, max) inclusion. In Spark the 25-row dim side is
+# broadcast (range-predicate nested-loop on a broadcast table).
+_PIP_JOIN = """
+WITH poly AS (
+  SELECT n_nationkey AS poly_id,
+         n_nationkey * 7.0 AS xmin, n_nationkey * 5.0 AS ymin,
+         n_nationkey * 7.0 + 40 AS xmax, n_nationkey * 5.0 + 35 AS ymax
+  FROM nation
+), pts AS (
+  SELECT c_custkey, (c_custkey % 211) * 1.0 AS x, (c_custkey % 173) * 1.0 AS y
+  FROM customer
+)
+SELECT p.poly_id, CAST(COUNT(*) AS BIGINT) AS n_inside,
+       CAST(MIN(c_custkey) AS BIGINT) AS first_pt
+FROM poly p JOIN pts
+  ON pts.x >= p.xmin AND pts.x < p.xmax AND pts.y >= p.ymin AND pts.y < p.ymax
+GROUP BY p.poly_id
+"""
+
+# §2.2 tile x ROI pruning — bbox intersection semi-join
+# (tree_detection.R:103-111).
+_TILE_PRUNE = """
+WITH tiles AS (
+  SELECT o_orderkey AS tile_id,
+         (o_orderkey % 100) * 32.0 AS xmin, (o_orderkey % 50) * 32.0 AS ymin,
+         (o_orderkey % 100) * 32.0 + 32 AS xmax,
+         (o_orderkey % 50) * 32.0 + 32 AS ymax
+  FROM orders WHERE o_orderkey <= 2000
+), roi AS (
+  SELECT r_regionkey AS roi_id, r_regionkey * 600.0 AS xmin,
+         r_regionkey * 300.0 AS ymin, r_regionkey * 600.0 + 700 AS xmax,
+         r_regionkey * 300.0 + 500 AS ymax
+  FROM region
+)
+SELECT t.tile_id
+FROM tiles t
+WHERE EXISTS (SELECT 1 FROM roi r
+              WHERE t.xmin < r.xmax AND t.xmax > r.xmin
+                AND t.ymin < r.ymax AND t.ymax > r.ymin)
+"""
+
+# Dedup: exact duplicate groups by content hash (md5 identical across
+# engines). Canonical doc = min doc_id. Keyed on an 80-char normalized
+# prefix so the synthetic corpus actually produces duplicate groups; at
+# scale this is one hash-aggregate shuffle with map-side partials.
+_EXACT_DEDUP = """
+SELECT md5(SUBSTR(text, 1, 80)) AS content_hash,
+       CAST(MIN(doc_id) AS BIGINT) AS canonical_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents
+GROUP BY md5(SUBSTR(text, 1, 80))
+HAVING COUNT(*) > 1
+"""
+
+# Text quality scoring: integer-exact token/char stats.
+_TEXT_QUALITY = """
+SELECT doc_id,
+       n_chars,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens,
+       CAST(LENGTH(text) - LENGTH(REPLACE(text, '.', '')) AS BIGINT)
+           AS n_periods,
+       ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+             / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 6)
+           AS mean_token_len
+FROM documents
+"""
+
+# Language-ID heuristic: stopword-hit ratio over whitespace tokens.
+_LANGID_SPARK = """
+SELECT doc_id,
+       ROUND(CAST(size(filter(split(text, ' '),
+             t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+             AS DOUBLE) / size(split(text, ' ')), 6) AS stop_ratio,
+       CASE WHEN size(filter(split(text, ' '),
+             t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+             * 50 >= size(split(text, ' ')) THEN 'en' ELSE 'other' END AS lang_guess
+FROM documents
+"""
+_LANGID_DUCK = """
+SELECT doc_id,
+       ROUND(CAST(len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+             AS DOUBLE) / len(string_split(text, ' ')), 6) AS stop_ratio,
+       CASE WHEN len(list_filter(string_split(text, ' '),
+             t -> t IN ('the','a','of','and','to','in','is','on','for','with')))
+             * 50 >= len(string_split(text, ' ')) THEN 'en' ELSE 'other' END AS lang_guess
+FROM documents
+"""
+
+# Document fingerprint: md5 of the sorted distinct token bag — exact string
+# machinery on both engines.
+_FINGERPRINT_SPARK = """
+SELECT doc_id,
+       md5(array_join(array_sort(array_distinct(split(text, ' '))), '|'))
+           AS fingerprint
+FROM documents
+"""
+_FINGERPRINT_DUCK = """
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), '|'))
+           AS fingerprint
+FROM documents
+"""
+
+# Embedding cosine top-k: integer-quantized (x10000) dot/norms so the
+# arithmetic is order-independent and engine-exact; division of identical
+# integers -> identical doubles. Brute-force baseline (LSH variant is
+# q_ann_lsh, rows-only).
+_TOPK_SPARK = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         transform(embedding, x -> CAST(ROUND(x * 10000, 0) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 8
+), base AS (
+  SELECT vec_id,
+         transform(embedding, x -> CAST(ROUND(x * 10000, 0) AS BIGINT)) AS bv
+  FROM embeddings
+), scored AS (
+  SELECT q.qid, base.vec_id,
+         aggregate(zip_with(q.qv, base.bv, (a, b) -> a * b), 0L,
+                   (acc, v) -> acc + v) AS dot,
+         aggregate(transform(q.qv, a -> a * a), 0L, (acc, v) -> acc + v) AS nq,
+         aggregate(transform(base.bv, b -> b * b), 0L, (acc, v) -> acc + v) AS nb
+  FROM q CROSS JOIN base
+  WHERE q.qid != base.vec_id
+), ranked AS (
+  SELECT qid, vec_id, dot, nq, nb,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+            CAST(dot AS DOUBLE) / SQRT(CAST(nq AS DOUBLE) * CAST(nb AS DOUBLE))
+            DESC, vec_id) AS rk
+  FROM ranked_src
+)
+SELECT qid, vec_id, rk,
+       ROUND(CAST(dot AS DOUBLE)
+             / SQRT(CAST(nq AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine
+FROM ranked WHERE rk <= 5
+"""
+
+
+def _topk_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    sql = _TOPK_SPARK.replace("ranked_src", "scored")
+    return spark.sql(sql)
+
+
+_TOPK_DUCK = """
+WITH q AS (
+  SELECT vec_id AS qid,
+         list_transform(embedding, x -> CAST(ROUND(x * 10000) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id < 8
+), base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(ROUND(x * 10000) AS BIGINT)) AS bv
+  FROM embeddings
+), scored AS (
+  SELECT q.qid, base.vec_id,
+         list_sum(list_transform(range(1, len(q.qv) + 1),
+                  i -> q.qv[i] * base.bv[i])) AS dot,
+         list_sum(list_transform(q.qv, a -> a * a)) AS nq,
+         list_sum(list_transform(base.bv, b -> b * b)) AS nb
+  FROM q CROSS JOIN base
+  WHERE q.qid != base.vec_id
+), ranked AS (
+  SELECT qid, vec_id, dot, nq, nb,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+            CAST(dot AS DOUBLE) / SQRT(CAST(nq AS DOUBLE) * CAST(nb AS DOUBLE))
+            DESC, vec_id) AS rk
+  FROM scored
+)
+SELECT qid, vec_id, rk,
+       ROUND(CAST(dot AS DOUBLE)
+             / SQRT(CAST(nq AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine
+FROM ranked WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Non-SQL tile-pipeline operators (rows-only driver check; full validation in
+# tests/ against the numpy oracle).
+
+def _flagship_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tiles -> detected trees, grid size seeded from the testdata scale."""
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.operators.tiles import synthetic_tiles
+    n = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    side = max(2, min(8, int(n ** 0.5 // 16)))
+    tiles = synthetic_tiles(spark, side, side)
+    return detect_trees(tiles)
+
+
+def _match_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile greedy matching of detections vs ground-truth inventory."""
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.operators.matching import match_trees
+    from lidartree_spark.operators.tiles import (
+        synthetic_ref_trees,
+        synthetic_tiles,
+    )
+    tiles = synthetic_tiles(spark, 4, 4)
+    det = detect_trees(tiles)
+    ref = synthetic_ref_trees(spark, 4, 4)
+    return match_trees(ref, det)
+
+
+def _decode_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lidartree_spark.operators.tiles import decode_check, synthetic_tiles
+    tiles = synthetic_tiles(spark, 4, 4)
+    return decode_check(tiles)
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+_SHARED = {
+    # name: (shared_sql_for_both,)
+    "points2dsm": _POINTS2DSM,
+    "raster_metrics_regrid": _RASTER_METRICS,
+    "vegetation_indices": _VEG_INDICES,
+    "boxcox_transforms": _BOXCOX,
+    "aba_metrics": _ABA_METRICS,
+    "std_tree_metrics": _STD_TREE_METRICS,
+    "matching_mutual_nn": _MUTUAL_NN,
+    "hist_detection": _HIST_DETECTION,
+    "height_regression": _HEIGHT_REGRESSION,
+    "pip_join": _PIP_JOIN,
+    "tile_prune_roi": _TILE_PRUNE,
+    "exact_dedup": _EXACT_DEDUP,
+    "text_quality": _TEXT_QUALITY,
+}
+
+_DIALECT = {
+    # name: (spark_sql_or_fn, duck_sql)
+    "aba_quantiles": (_ABA_QUANTILES_SPARK, _ABA_QUANTILES_DUCK),
+    "langid_heuristic": (_LANGID_SPARK, _LANGID_DUCK),
+    "doc_fingerprint": (_FINGERPRINT_SPARK, _FINGERPRINT_DUCK),
+    "embedding_topk": (_topk_spark, _TOPK_DUCK),
+}
+
+_NO_ORACLE = {
+    "tree_detect_tiles": _flagship_detect,
+    "tree_match_greedy": _match_greedy,
+    "tiles_decode_invariants": _decode_invariants,
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, sql in _SHARED.items():
+        out[name] = _sql(sql)
+    for name, (spark_side, _) in _DIALECT.items():
+        out[name] = spark_side if callable(spark_side) else _sql(spark_side)
+    out.update(_NO_ORACLE)
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out = dict(_SHARED)
+    for name, (_, duck) in _DIALECT.items():
+        out[name] = duck
+    return out
