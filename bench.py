@@ -141,8 +141,9 @@ def main() -> None:
         qs = queries()
         for name, fn in qs.items():
             if name in ("tree_detect_tiles", "tree_match_greedy",
-                        "tiles_decode_invariants"):
-                continue  # covered by the headline pipeline
+                        "tiles_decode_invariants", "tree_detect_halo",
+                        "gap_detection", "coregistration"):
+                continue  # tile-pipeline ops, covered by the headline number
             t0 = time.time()
             df = fn(spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

@@ -41,7 +41,8 @@ def detect_trees(tiles: DataFrame, params: dict | None = None,
     tree_extraction :1000-1086)."""
     p = {**DEFAULT_PARAMS, **(params or {})}
     out_schema = TREES_SCHEMA + (", crown string" if crown else "")
-    cols = ["image_id", "bytes", "w", "h", "fmt"]
+    padded = "pad" in tiles.columns
+    cols = ["image_id", "bytes", "w", "h", "fmt"] + (["pad"] if padded else [])
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -61,10 +62,20 @@ def detect_trees(tiles: DataFrame, params: dict | None = None,
                     dprop=p["dprop"], prop=p["prop"], min_value=p["min_value"])
                 row = int(rec.image_id[1:5])
                 col = int(rec.image_id[6:10])
-                x0, y1 = tile_origin(row, col, rec.w, rec.h, res)
+                pad = int(getattr(rec, "pad", 0))
+                w_core, h_core = rec.w - 2 * pad, rec.h - 2 * pad
+                x0, y1 = tile_origin(row, col, w_core, h_core, res)
                 rows = tree_extraction(
                     seg["filled_dem"], seg["local_maxima"],
-                    seg["segments_id"], x0=x0, y1=y1, res=res, crown=crown)
+                    seg["segments_id"], x0=x0 - pad * res, y1=y1 + pad * res,
+                    res=res, crown=crown)
+                if pad:
+                    # crop-to-core dedup (tree_detection.R:160-165): an apex
+                    # in the halo belongs to the neighbor whose core holds it
+                    x1 = x0 + w_core * res
+                    y0 = y1 - h_core * res
+                    rows = [r for r in rows
+                            if x0 <= r["x"] < x1 and y0 <= r["y"] < y1]
                 for r in rows:
                     r["image_id"] = rec.image_id
                 out.extend(rows)

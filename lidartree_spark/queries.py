@@ -441,6 +441,36 @@ def _decode_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_check(tiles)
 
 
+def _halo_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Buffered-tile detection: halo exchange -> detect -> core-crop dedup
+    (tree_detection.R:114-115, 160-165)."""
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.operators.halo import with_halo
+    from lidartree_spark.operators.tiles import synthetic_tiles
+    return detect_trees(with_halo(synthetic_tiles(spark, 4, 4), 16))
+
+
+def _gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tile multi-threshold morphological gap detection
+    (gap_detection.R:142-228)."""
+    from lidartree_spark.operators.gaps import detect_gaps
+    from lidartree_spark.operators.tiles import synthetic_tiles
+    return detect_gaps(synthetic_tiles(spark, 4, 4))
+
+
+def _coregistration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped moving-correlation coregistration
+    (coregistration.R:396-430)."""
+    from lidartree_spark.operators.coreg import coregister
+    from lidartree_spark.operators.tiles import (
+        synthetic_ref_trees,
+        synthetic_tiles,
+    )
+    tiles = synthetic_tiles(spark, 2, 2)
+    ref = synthetic_ref_trees(spark, 2, 2).select("image_id", "x", "y", "h")
+    return coregister(tiles, ref, buffer=3.0, step=0.5)
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -473,6 +503,9 @@ _NO_ORACLE = {
     "tree_detect_tiles": _flagship_detect,
     "tree_match_greedy": _match_greedy,
     "tiles_decode_invariants": _decode_invariants,
+    "tree_detect_halo": _halo_detect,
+    "gap_detection": _gap_detect,
+    "coregistration": _coregistration,
 }
 
 
