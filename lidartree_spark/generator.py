@@ -86,6 +86,42 @@ def gen_tile_row(row: int, col: int, w: int = 64, h: int = 64, res: float = RES)
     }
 
 
+def gen_plot_metrics(n_plots: int = 96, seed: int = 4242) -> list[dict]:
+    """Synthetic quatre_montagnes-like calibration table (FIXTURES.md §4):
+    ~96 plots with field parameters driven by a seeded linear model over ALS
+    metrics + noise, so aba_build_model has real signal to find
+    (/root/reference/R/quatre_montagnes-data.R:11-24)."""
+    rng = np.random.default_rng(seed)
+    out = []
+    for i in range(n_plots):
+        zmax = rng.uniform(10, 40)
+        zmean = zmax * rng.uniform(0.4, 0.7)
+        zsd = zmax * rng.uniform(0.1, 0.25)
+        zq95 = zmax * rng.uniform(0.85, 0.98)
+        mch = zmean * rng.uniform(0.9, 1.1)
+        sdch = zsd * rng.uniform(0.9, 1.1)
+        p_hmin = rng.uniform(0.5, 0.99)
+        # basal area: linear in zmean & p_hmin with noise (the "signal")
+        g_m2_ha = max(1.0, 1.8 * zmean + 12.0 * p_hmin
+                      + rng.normal(0, 3.0) + 2.0)
+        n_ha = max(50.0, 3000.0 - 60.0 * zmean + rng.normal(0, 150.0))
+        out.append({
+            "plotId": f"p{i:03d}",
+            "X": float(rng.uniform(0, 5000)),
+            "Y": float(rng.uniform(0, 5000)),
+            "stratum": "public" if rng.random() < 0.5 else "private",
+            "G_m2_ha": float(g_m2_ha),
+            "N_ha": float(n_ha),
+            "D_mean_cm": float(max(7.5, zmean * 1.1 + rng.normal(0, 2))),
+            "zmax": float(zmax), "zmean": float(zmean), "zsd": float(zsd),
+            "zq95": float(zq95), "mCH": float(mch), "sdCH": float(sdch),
+            "p_hmin": float(p_hmin),
+            "altitude": float(rng.uniform(500, 2000)),
+            "slope_gr": float(rng.uniform(0, 50)),
+        })
+    return out
+
+
 def gen_ref_trees(row: int, col: int, w: int = 64, h: int = 64,
                   res: float = RES) -> list[dict]:
     """Field-inventory ground truth per tile: the true crown centers with

@@ -335,6 +335,257 @@ SELECT doc_id,
 FROM documents
 """
 
+# §2.7 terrain_points_metrics — per-group OLS plane z ~ a + bx + cy via
+# closed-form normal equations (metrics.R:256-316). x, y are integers and z
+# has 2 decimals, so every aggregate is integer-exact; slope/azimuth in
+# gradians, rounded to 1 decimal like the reference (:312-315).
+_TERRAIN_PLANE = """
+WITH pts AS (
+  SELECT l_suppkey AS plot_id,
+         CAST(l_partkey % 50 AS DOUBLE) AS x,
+         CAST(l_orderkey % 37 AS DOUBLE) AS y,
+         l_quantity + 100.0 AS z
+  FROM lineitem
+), sums AS (
+  SELECT plot_id, CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+         SUM(x*x) AS sxx, SUM(y*y) AS syy, SUM(x*y) AS sxy,
+         SUM(x*z) AS sxz, SUM(y*z) AS syz
+  FROM pts GROUP BY plot_id HAVING COUNT(*) > 3
+), solved AS (
+  SELECT plot_id, n,
+         (sxx - sx*sx/n) AS a11, (sxy - sx*sy/n) AS a12,
+         (syy - sy*sy/n) AS a22,
+         (sxz - sx*sz/n) AS b1, (syz - sy*sz/n) AS b2
+  FROM sums
+), coefs AS (
+  SELECT plot_id,
+         (b1*a22 - b2*a12) / (a11*a22 - a12*a12) AS b,
+         (b2*a11 - b1*a12) / (a11*a22 - a12*a12) AS c
+  FROM solved
+  WHERE (a11*a22 - a12*a12) != 0
+)
+SELECT plot_id,
+       ROUND(ATAN(SQRT(b*b + c*c)) * 400 / (2 * PI()), 1) AS slope_gr,
+       ROUND(MOD((PI()/2 - ATAN2(c, b)) * 400 / (2 * PI()) + 200 + 400,
+                 400), 1) AS azimut_gr
+FROM coefs
+"""
+
+# §2.6 species lookup — broadcast dimension-table join (common.R:192-274:
+# 66-row species dim). Inline VALUES dim; Spark broadcasts it automatically.
+_SPECIES_JOIN_SPARK = """
+SELECT d.name AS segment_name, d.kind,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(AVG(c_acctbal), 6) AS avg_bal
+FROM customer
+JOIN (VALUES ('AUTOMOBILE','vehicles'), ('BUILDING','construction'),
+             ('FURNITURE','interior'), ('MACHINERY','industry'),
+             ('HOUSEHOLD','interior')) AS d(name, kind)
+  ON c_mktsegment = d.name
+GROUP BY d.name, d.kind
+"""
+_SPECIES_JOIN_DUCK = """
+SELECT d.name AS segment_name, d.kind,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(AVG(c_acctbal), 6) AS avg_bal
+FROM customer
+JOIN (VALUES ('AUTOMOBILE','vehicles'), ('BUILDING','construction'),
+             ('FURNITURE','interior'), ('MACHINERY','industry'),
+             ('HOUSEHOLD','interior')) d(name, kind)
+  ON c_mktsegment = d.name
+GROUP BY d.name, d.kind
+"""
+
+# §2.3 polar2Projected (common.R:166-176): azimuth/slope in gradians with
+# declination correction; per-row trig, rounded.
+_POLAR2PROJ = """
+SELECT c_custkey,
+       ROUND((c_custkey % 100) + ((c_acctbal / 100.0) + 0.5/2)
+             * COS((c_custkey % 30) * PI() / 200)
+             * SIN(((c_custkey % 400) + 2.2) * PI() / 200), 6) + 0 AS x_proj,
+       ROUND((c_custkey % 80) + ((c_acctbal / 100.0) + 0.5/2)
+             * COS((c_custkey % 30) * PI() / 200)
+             * COS(((c_custkey % 400) + 2.2) * PI() / 200), 6) + 0 AS y_proj,
+       ROUND(((c_acctbal / 100.0) + 0.5/2)
+             * SIN((c_custkey % 30) * PI() / 200), 6) + 0 AS z_off
+FROM customer WHERE c_custkey <= 500
+"""
+
+# §2.3 raster_xy_mask (common.R:406-431): per-cell max of
+# sqrt(max(0, buff^2 - d^2)) over buffered points — a distance join +
+# group-by max. Cells come from the events grid; points from nation.
+_XY_MASK = """
+WITH cells AS (
+  SELECT DISTINCT CAST(FLOOR(value / 2.0) AS BIGINT) AS cx,
+         CAST(FLOOR(CAST(user_id AS DOUBLE) / 2.0) AS BIGINT) AS cy
+  FROM events
+), pts AS (
+  SELECT n_nationkey AS pid, (n_nationkey * 3.0) AS px,
+         (n_nationkey * 2.0) AS py, 10.0 + (n_nationkey % 5) AS buff
+  FROM nation
+)
+SELECT c.cx, c.cy,
+       ROUND(MAX(SQRT(GREATEST(0.0, buff*buff -
+             ((c.cx*2.0+1.0 - px)*(c.cx*2.0+1.0 - px) +
+              (c.cy*2.0+1.0 - py)*(c.cy*2.0+1.0 - py))))), 6) AS mask_val
+FROM cells c JOIN pts
+  ON ABS(c.cx*2.0+1.0 - px) <= buff AND ABS(c.cy*2.0+1.0 - py) <= buff
+GROUP BY c.cx, c.cy
+"""
+
+# §2.7 hist_stack — stacked histogram counts per category
+# (tree_match.R:245-265): integer bucket + category counts.
+_HIST_STACK = """
+SELECT CAST(FLOOR(l_quantity / 5.0) AS BIGINT) AS h_bucket,
+       l_returnflag AS category,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY 1, 2
+"""
+
+# §2.10 aba_predict — fixed calibrated model as pure column expressions with
+# log-transform bias correction (aba.R:730-820): exp/ln only (engine-stable).
+_ABA_PREDICT = """
+WITH metrics AS (
+  SELECT l_suppkey AS plot_id, AVG(l_quantity) AS zmean,
+         MAX(l_quantity) AS zmax,
+         CAST(SUM(CASE WHEN l_quantity >= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS p_hmin
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT plot_id,
+       ROUND(EXP(0.8 + 0.9 * LN(zmean) + 0.2 * LN(zmax)
+                 + 0.3 * LN(p_hmin + 0.01)) * EXP(0.04 / 2), 6)
+           AS prediction
+FROM metrics
+"""
+
+# §2.10 aba_inference — SRS / difference-estimator aggregates (aba.R:923-943)
+# over the prediction table, with "observations" = a deterministic subset.
+_ABA_INFERENCE = """
+WITH metrics AS (
+  SELECT l_suppkey AS plot_id, AVG(l_quantity) AS zmean
+  FROM lineitem GROUP BY l_suppkey
+), pred AS (
+  SELECT plot_id, 1.5 * zmean + 3.0 AS prediction,
+         CASE WHEN plot_id % 5 = 0 THEN 1.6 * zmean + 2.0 END AS field
+  FROM metrics
+)
+SELECT ROUND(AVG(field), 6) AS srs_mean,
+       ROUND(VAR_SAMP(field), 6) AS srs_var,
+       ROUND(AVG(prediction)
+             - (SUM(CASE WHEN field IS NOT NULL
+                         THEN prediction - field ELSE 0 END)
+                / COUNT(field)), 6) AS ed_mean,
+       CAST(COUNT(field) AS BIGINT) AS n_obs,
+       CAST(COUNT(*) AS BIGINT) AS n_pred
+FROM pred
+"""
+
+# ---------------------------------------------------------------------------
+# Training-data-pipeline dedup ops (graft requirement): MinHash+LSH banding,
+# n-gram Jaccard, SimHash — all on md5 (identical across engines) and
+# integer-exact arithmetic. Spark side uses posexplode; DuckDB uses
+# unnest WITH ORDINALITY (dialect pair); shingle/band logic is shared.
+
+# word 3-shingles by 1-based array indexing — no window/ordinality, so both
+# engines generate byte-identical (doc_id, shingle) sets.
+_SHINGLES_SPARK = """
+  SELECT doc_id,
+         explode(CASE WHEN size(split(text, ' ')) >= 3 THEN
+           transform(sequence(1, size(split(text, ' ')) - 2),
+                     i -> concat(element_at(split(text, ' '), i), ' ',
+                                 element_at(split(text, ' '), i + 1), ' ',
+                                 element_at(split(text, ' '), i + 2)))
+           ELSE array() END) AS shingle
+  FROM documents WHERE doc_id < 200
+"""
+_SHINGLES_DUCK = """
+  SELECT doc_id,
+         l[i] || ' ' || l[i + 1] || ' ' || l[i + 2] AS shingle
+  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        FROM documents WHERE doc_id < 200),
+       UNNEST(generate_series(1, GREATEST(len(l) - 2, 0))) AS g(i)
+"""
+
+
+def _minhash_sql(shingles: str) -> str:
+    return f"""
+WITH shingles AS ({shingles}),
+sig AS (
+  SELECT doc_id, b,
+         MIN(md5(CONCAT(CAST(b AS STRING), '|', shingle))) AS band_sig
+  FROM shingles
+  CROSS JOIN (SELECT 0 AS b UNION ALL SELECT 1 UNION ALL
+              SELECT 2 UNION ALL SELECT 3) bands
+  GROUP BY doc_id, b
+)
+SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       CAST(COUNT(*) AS BIGINT) AS shared_bands
+FROM sig a JOIN sig c ON a.b = c.b AND a.band_sig = c.band_sig
+                      AND a.doc_id < c.doc_id
+GROUP BY a.doc_id, c.doc_id
+"""
+
+
+def _jaccard_sql(shingles: str) -> str:
+    return f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, shingle FROM ({shingles})
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS DOUBLE) AS ninter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(ninter / (sa.sz + sb.sz - ninter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ninter / (sa.sz + sb.sz - ninter) >= 0.12
+"""
+
+
+_SIMHASH_SPARK = """
+WITH toks AS (
+  SELECT doc_id, explode(split(text, ' ')) AS tok
+  FROM documents WHERE doc_id < 200
+), bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN SUBSTR(md5(tok), i + 1, 1) IN
+                  ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+  FROM toks
+  CROSS JOIN (SELECT explode(sequence(0, 31)) AS i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, i) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+_SIMHASH_DUCK = """
+WITH toks AS (
+  SELECT doc_id, u.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+  WHERE doc_id < 200
+), bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN SUBSTR(md5(tok), i + 1, 1) IN
+                  ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
+  FROM toks
+  CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS i)
+  GROUP BY doc_id, i
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN s > 0 THEN CAST(POW(2, i) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
 # Embedding cosine top-k: integer-quantized (x10000) dot/norms so the
 # arithmetic is order-independent and engine-exact; division of identical
 # integers -> identical doubles. Brute-force baseline (LSH variant is
@@ -489,6 +740,12 @@ _SHARED = {
     "tile_prune_roi": _TILE_PRUNE,
     "exact_dedup": _EXACT_DEDUP,
     "text_quality": _TEXT_QUALITY,
+    "terrain_plane_fit": _TERRAIN_PLANE,
+    "polar2projected": _POLAR2PROJ,
+    "raster_xy_mask": _XY_MASK,
+    "hist_stack": _HIST_STACK,
+    "aba_predict": _ABA_PREDICT,
+    "aba_inference": _ABA_INFERENCE,
 }
 
 _DIALECT = {
@@ -497,6 +754,13 @@ _DIALECT = {
     "langid_heuristic": (_LANGID_SPARK, _LANGID_DUCK),
     "doc_fingerprint": (_FINGERPRINT_SPARK, _FINGERPRINT_DUCK),
     "embedding_topk": (_topk_spark, _TOPK_DUCK),
+    "species_dim_join": (_SPECIES_JOIN_SPARK, _SPECIES_JOIN_DUCK),
+    "minhash_lsh": (_minhash_sql(_SHINGLES_SPARK),
+                    _minhash_sql(_SHINGLES_DUCK).replace("AS STRING",
+                                                         "AS VARCHAR")),
+    "ngram_jaccard": (_jaccard_sql(_SHINGLES_SPARK),
+                      _jaccard_sql(_SHINGLES_DUCK)),
+    "simhash": (_SIMHASH_SPARK, _SIMHASH_DUCK),
 }
 
 _NO_ORACLE = {
