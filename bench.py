@@ -142,7 +142,8 @@ def main() -> None:
         for name, fn in qs.items():
             if name in ("tree_detect_tiles", "tree_match_greedy",
                         "tiles_decode_invariants", "tree_detect_halo",
-                        "gap_detection", "coregistration"):
+                        "gap_detection", "coregistration",
+                        "multimodal_image_features", "checkpointed_detect"):
                 continue  # tile-pipeline ops, covered by the headline number
             t0 = time.time()
             df = fn(spark, SF_DIR)

@@ -1,0 +1,190 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing (schema, partitioning, Arrow batch shapes, UDF
+signatures) is real and tested; the format decoders that would need
+PIL/ffmpeg (absent in this environment) are STUBBED:
+
+- fmt == "raw_f32"            -> real decode (shared tile codec)
+- fmt in {"jpeg","png","mp4","wav"} -> `FakeDecoder`, a clearly-marked
+  deterministic stand-in seeded by media_id (same shape/dtype contract a
+  real decoder would satisfy). `decode_media(..., strict=True)` raises
+  NotImplementedError for these formats instead.
+
+Downstream ops (resize, feature extraction, frame sampling, RMS energy) are
+REAL numpy implementations over whatever the decode stage yields.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_SCHEMA = ("media_id string, kind string, bytes binary, fmt string, "
+                "width int, height int, channels int, sample_rate int, "
+                "n_frames int")
+
+STUB_FORMATS = {"jpeg", "png", "mp4", "wav"}
+
+
+class FakeDecoder:
+    """Deterministic stand-in for image/audio/video codecs (STUB — replace
+    with PIL/soundfile/pyav on a real cluster). Output shape honors the
+    metadata columns, values are seeded from media_id."""
+
+    @staticmethod
+    def _rng(media_id: str):
+        return np.random.default_rng(
+            int.from_bytes(hashlib.sha256(media_id.encode()).digest()[:8],
+                           "little"))
+
+    @classmethod
+    def image(cls, media_id: str, w: int, h: int, c: int) -> np.ndarray:
+        return cls._rng(media_id).uniform(0, 1, (h, w, c)).astype(np.float32)
+
+    @classmethod
+    def audio(cls, media_id: str, sr: int, n: int) -> np.ndarray:
+        return cls._rng(media_id).uniform(-1, 1, n).astype(np.float32)
+
+    @classmethod
+    def video(cls, media_id: str, w: int, h: int, n_frames: int) -> np.ndarray:
+        return cls._rng(media_id).uniform(0, 1, (n_frames, h, w)) \
+            .astype(np.float32)
+
+
+def decode_image_array(rec, strict: bool = False) -> np.ndarray:
+    if rec.fmt == "raw_f32":
+        from lidartree_spark.codecs import decode_tile
+        return decode_tile(rec.bytes, "raw_f32", rec.width, rec.height)[..., None]
+    if rec.fmt in STUB_FORMATS:
+        if strict:
+            raise NotImplementedError(
+                f"real {rec.fmt} decode requires PIL/pyav (not in sandbox)")
+        return FakeDecoder.image(rec.media_id, rec.width, rec.height,
+                                 max(1, rec.channels))
+    raise ValueError(f"unknown media fmt {rec.fmt!r}")
+
+
+def resize_bilinear(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Real separable bilinear resize (pure numpy, vectorized)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :, None]
+    a = img[np.ix_(y0, x0)]
+    b = img[np.ix_(y0, x1)]
+    c = img[np.ix_(y1, x0)]
+    d = img[np.ix_(y1, x1)]
+    return (a * (1 - wy) * (1 - wx) + b * (1 - wy) * wx
+            + c * wy * (1 - wx) + d * wy * wx)
+
+
+def image_features(media: DataFrame, resize_to: int = 16) -> DataFrame:
+    """decode -> resize -> per-image features (mean/std/gradient energy) +
+    a flattened thumbnail embedding. One mapInPandas pass, Arrow-batched."""
+    schema = ("media_id string, mean double, std double, grad_energy double, "
+              "thumb array<float>")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                img = decode_image_array(rec)
+                g = img.mean(axis=2)
+                thumb = resize_bilinear(g[..., None], resize_to, resize_to)
+                gy, gx = np.gradient(g)
+                out.append({
+                    "media_id": rec.media_id,
+                    "mean": float(np.nanmean(g)),
+                    "std": float(np.nanstd(g)),
+                    "grad_energy": float(np.nanmean(gx * gx + gy * gy)),
+                    "thumb": thumb.ravel().astype(np.float32).tolist(),
+                })
+            yield pd.DataFrame(out, columns=["media_id", "mean", "std",
+                                             "grad_energy", "thumb"])
+
+    cols = ["media_id", "bytes", "fmt", "width", "height", "channels"]
+    return media.select(*cols).mapInPandas(run, schema=schema)
+
+
+def audio_frame_energy(media: DataFrame, frame: int = 1024,
+                       hop: int = 512) -> DataFrame:
+    """decode -> windowed RMS energy rows (one row per frame) — the UDTF
+    shape (variable rows out per row in)."""
+    schema = "media_id string, frame_idx int, rms double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                if rec.fmt in STUB_FORMATS:
+                    samples = FakeDecoder.audio(rec.media_id,
+                                                rec.sample_rate,
+                                                rec.n_frames)
+                else:
+                    samples = np.frombuffer(rec.bytes, dtype=np.float32)
+                n = (len(samples) - frame) // hop + 1 if len(samples) >= frame else 0
+                for i in range(n):
+                    seg = samples[i * hop:i * hop + frame]
+                    out.append({"media_id": rec.media_id, "frame_idx": i,
+                                "rms": float(np.sqrt(np.mean(seg * seg)))})
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx", "rms"])
+
+    cols = ["media_id", "bytes", "fmt", "sample_rate", "n_frames"]
+    return media.select(*cols).mapInPandas(run, schema=schema)
+
+
+def video_frame_sample(media: DataFrame, every: int = 4,
+                       resize_to: int = 8) -> DataFrame:
+    """decode -> sample every k-th frame -> thumbnail rows."""
+    schema = "media_id string, frame_idx int, thumb array<float>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                frames = FakeDecoder.video(rec.media_id, rec.width,
+                                           rec.height, rec.n_frames)
+                for i in range(0, frames.shape[0], every):
+                    th = resize_bilinear(frames[i][..., None], resize_to,
+                                         resize_to)
+                    out.append({"media_id": rec.media_id, "frame_idx": i,
+                                "thumb": th.ravel().astype(np.float32)
+                                .tolist()})
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx",
+                                             "thumb"])
+
+    cols = ["media_id", "bytes", "fmt", "width", "height", "n_frames"]
+    return media.select(*cols).mapInPandas(run, schema=schema)
+
+
+def synthetic_media(spark, n: int = 24) -> DataFrame:
+    """Small deterministic media table exercising all three kinds."""
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        mid = f"m{i:04d}"
+        if kind == "image":
+            rows.append({"media_id": mid, "kind": kind, "bytes": b"",
+                         "fmt": "jpeg", "width": 32 + 8 * (i % 3),
+                         "height": 24 + 8 * (i % 2), "channels": 3,
+                         "sample_rate": 0, "n_frames": 0})
+        elif kind == "audio":
+            rows.append({"media_id": mid, "kind": kind, "bytes": b"",
+                         "fmt": "wav", "width": 0, "height": 0,
+                         "channels": 1, "sample_rate": 16000,
+                         "n_frames": 4096 + 512 * (i % 4)})
+        else:
+            rows.append({"media_id": mid, "kind": kind, "bytes": b"",
+                         "fmt": "mp4", "width": 16, "height": 12,
+                         "channels": 3, "sample_rate": 0,
+                         "n_frames": 8 + (i % 5)})
+    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)

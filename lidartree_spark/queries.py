@@ -763,6 +763,48 @@ _DIALECT = {
     "simhash": (_SIMHASH_SPARK, _SIMHASH_DUCK),
 }
 
+def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate nearest neighbors (scale path; recall vs
+    brute force asserted in tests/test_similarity_multimodal_checkpoint.py).
+    The exact baseline has a DuckDB oracle as `embedding_topk`."""
+    from lidartree_spark.operators.similarity import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, emb.where("vec_id < 8"), k=5)
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image decode->resize->feature plumbing (decode stubbed, see
+    operators/multimodal.py)."""
+    from lidartree_spark.operators.multimodal import (
+        image_features,
+        synthetic_media,
+    )
+    media = synthetic_media(spark, 24)
+    return image_features(media.where("kind = 'image'"))
+
+
+def _checkpointed_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship pipeline through the checkpoint/lineage layer: each stage
+    commits a snapshot + per-partition manifest; rerunning skips committed
+    stages (north-rule resumability; see plans/checkpoint.py)."""
+    import tempfile
+
+    from lidartree_spark.plans.checkpoint import Pipeline, Stage
+
+    def s_tiles(s):
+        from lidartree_spark.operators.tiles import synthetic_tiles
+        return synthetic_tiles(s, 4, 4)
+
+    def s_detect(s, tiles):
+        from lidartree_spark.operators.detection import detect_trees
+        return detect_trees(tiles)
+
+    p = Pipeline(spark, tempfile.mkdtemp(prefix="lidartree_ckpt_"))
+    p.run([Stage("tiles", s_tiles),
+           Stage("detect", s_detect, inputs=["tiles"])])
+    return p.read_output("detect")
+
+
 _NO_ORACLE = {
     "tree_detect_tiles": _flagship_detect,
     "tree_match_greedy": _match_greedy,
@@ -770,6 +812,9 @@ _NO_ORACLE = {
     "tree_detect_halo": _halo_detect,
     "gap_detection": _gap_detect,
     "coregistration": _coregistration,
+    "ann_lsh": _ann_lsh,
+    "multimodal_image_features": _multimodal_features,
+    "checkpointed_detect": _checkpointed_detect,
 }
 
 
