@@ -143,7 +143,9 @@ def main() -> None:
             if name in ("tree_detect_tiles", "tree_match_greedy",
                         "tiles_decode_invariants", "tree_detect_halo",
                         "gap_detection", "coregistration",
-                        "multimodal_image_features", "checkpointed_detect"):
+                        "multimodal_image_features", "checkpointed_detect",
+                        "points_to_tiles_detect", "clouds_tree_metrics",
+                        "edge_detection_stats", "raster_chull_mask"):
                 continue  # tile-pipeline ops, covered by the headline number
             t0 = time.time()
             df = fn(spark, SF_DIR)

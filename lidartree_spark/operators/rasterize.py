@@ -1,0 +1,103 @@
+"""Point-cloud -> raster-tile materialization and tree-level metrics.
+
+- points_to_tiles: the distributed points2DSM (/root/reference/R/common.R:
+  53-70): cell = max Z of points in cell, extent snapped to multiples of
+  res (:61-64). Two-stage: Catalyst hash-agg per cell (map-side partial
+  max), then grouped dense-tile assembly into the standard tiles schema —
+  so every downstream operator (detection, gaps, halo) runs unchanged on
+  point-cloud-sourced data.
+- std_tree_metrics_df: per-plot tree summary (metrics.R:200-214) with the
+  sort-rank Gini — pure window + aggregate, no UDF.
+- clouds_tree_metrics_df: detection + metrics composition (metrics.R:397-457)
+  expressed as detect_trees -> std_tree_metrics_df.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def points_to_tiles(points: DataFrame, res: float = 0.5, tile_px: int = 64,
+                    x_col: str = "x", y_col: str = "y",
+                    z_col: str = "z") -> DataFrame:
+    """(x, y, z) rows -> tiles(image_id, bytes, w, h, fmt, caption, phash).
+
+    Cells with no points are NaN (terra leaves empty cells NA; the NA->0
+    fill happens downstream in tree_segmentation, tree_detection.R:893-899).
+    """
+    span = tile_px * res
+    cells = (points
+             .withColumn("cx", F.floor(F.col(x_col) / F.lit(res)).cast("long"))
+             .withColumn("cy", F.floor(F.col(y_col) / F.lit(res)).cast("long"))
+             .groupBy("cx", "cy")
+             .agg(F.max(z_col).alias("z"))
+             .withColumn("col", F.floor(F.col("cx") / F.lit(tile_px)).cast("int"))
+             .withColumn("row", F.floor(F.col("cy") / F.lit(tile_px)).cast("int"))
+             .withColumn("px", (F.col("cx") - F.col("col") * F.lit(tile_px)).cast("int"))
+             .withColumn("py", (F.col("cy") - F.col("row") * F.lit(tile_px)).cast("int")))
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from lidartree_spark.codecs import encode_tile, phash64
+        row, col = int(key[0]), int(key[1])
+        arr = np.full((tile_px, tile_px), np.nan, dtype=np.float32)
+        # array row 0 = top (max y): py counts cells up from the tile's ymin
+        arr[tile_px - 1 - pdf["py"].to_numpy(), pdf["px"].to_numpy()] = \
+            pdf["z"].to_numpy()
+        image_id = f"t{row:04d}_{col:04d}"
+        return pd.DataFrame([{
+            "image_id": image_id,
+            "bytes": encode_tile(arr, "raw_f32"),
+            "w": tile_px, "h": tile_px, "fmt": "raw_f32",
+            "caption": f"DSM tile {image_id} from points, res {res} m",
+            "phash": phash64(arr),
+        }])
+
+    return cells.groupBy("row", "col").applyInPandas(
+        assemble,
+        schema=("image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long"))
+
+
+def std_tree_metrics_df(trees: DataFrame, area_ha: float,
+                        key: str = "image_id") -> DataFrame:
+    """Tree metrics per plot (metrics.R:200-214): mean/sd/gini of apex
+    heights, densities by height class, crown surface/volume means, canopy
+    mean height = sum(v)/sum(s)."""
+    w = Window.partitionBy(key).orderBy("h")
+    ranked = (trees
+              .withColumn("i", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(Window.partitionBy(key))))
+    return ranked.groupBy(key).agg(
+        F.avg("h").alias("tree_meanh"),
+        F.stddev_samp("h").alias("tree_sdh"),
+        (F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("h"))
+         / (F.max("n") * F.sum("h"))).alias("tree_ginih"),
+        (F.count("*") / F.lit(area_ha)).alias("tree_density"),
+        (F.sum(F.when(F.col("h") <= 10, 1).otherwise(0))
+         / F.lit(area_ha)).alias("treeinf10_density"),
+        (F.sum(F.when(F.col("h") > 10, 1).otherwise(0))
+         / F.lit(area_ha)).alias("treesup10_density"),
+        (F.sum(F.when(F.col("h") > 20, 1).otherwise(0))
+         / F.lit(area_ha)).alias("treesup20_density"),
+        (F.sum(F.when(F.col("h") > 30, 1).otherwise(0))
+         / F.lit(area_ha)).alias("treesup30_density"),
+        F.avg("s").alias("tree_meancrownsurface"),
+        F.avg("v").alias("tree_meancrownvolume"),
+        (F.sum("v") / F.sum("s")).alias("treecanopy_meanh"),
+    )
+
+
+def clouds_tree_metrics_df(tiles: DataFrame, params: dict | None = None,
+                           area_ha: float | None = None) -> DataFrame:
+    """Per-tile detection + tree metrics (clouds_tree_metrics,
+    metrics.R:397-457). area defaults to the tile footprint."""
+    from lidartree_spark.operators.detection import DEFAULT_PARAMS, detect_trees
+    p = {**DEFAULT_PARAMS, **(params or {})}
+    det = detect_trees(tiles, params)
+    if area_ha is None:
+        # 64x64 cells at res m/cell -> hectares
+        area_ha = (64 * p["res"]) ** 2 / 10_000.0
+    return std_tree_metrics_df(det, area_ha)

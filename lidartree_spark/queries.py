@@ -483,6 +483,14 @@ SELECT ROUND(AVG(field), 6) AS srs_mean,
 FROM pred
 """
 
+# §2.3 clean_raster (aba.R:861-877): clamp to [min,max], NA->0, apply mask.
+_CLEAN_RASTER = """
+SELECT event_id,
+       LEAST(GREATEST(COALESCE(value, 0.0), 5.0), 50.0)
+           * (CASE WHEN user_id % 3 = 0 THEN 1.0 ELSE 0.0 END) AS cleaned
+FROM events
+"""
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline dedup ops (graft requirement): MinHash+LSH banding,
 # n-gram Jaccard, SimHash — all on md5 (identical across engines) and
@@ -746,6 +754,7 @@ _SHARED = {
     "hist_stack": _HIST_STACK,
     "aba_predict": _ABA_PREDICT,
     "aba_inference": _ABA_INFERENCE,
+    "clean_raster": _CLEAN_RASTER,
 }
 
 _DIALECT = {
@@ -805,6 +814,88 @@ def _checkpointed_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.read_output("detect")
 
 
+def _points_to_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """points2DSM end-to-end: point rows -> max-in-cell -> dense tiles ->
+    detection on the assembled DSM (common.R:53-70 + pipeline)."""
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.operators.rasterize import points_to_tiles
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pts = ev.selectExpr("value * 3.0 AS x",
+                        "CAST(user_id AS DOUBLE) * 0.64 AS y",
+                        "10.0 + (event_id % 25) AS z")
+    return detect_trees(points_to_tiles(pts))
+
+
+def _tree_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clouds_tree_metrics: per-tile detection + tree-level summary
+    aggregates incl. Gini (metrics.R:200-214, 397-457)."""
+    from lidartree_spark.operators.rasterize import clouds_tree_metrics_df
+    from lidartree_spark.operators.tiles import synthetic_tiles
+    return clouds_tree_metrics_df(synthetic_tiles(spark, 4, 4))
+
+
+def _edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edge_detection (gap_detection.R:274-291): per-tile inside/outside gap
+    edge pixel counts."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from lidartree_spark.operators.tiles import synthetic_tiles
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lidartree_spark.codecs import decode_tile
+        from lidartree_spark.kernels.gaps import edge_detection, gap_detection
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                chm = decode_tile(rec.bytes, rec.fmt, rec.w, rec.h)
+                gaps = (gap_detection(chm, res=0.5)["gap_id"] > 0)
+                out.append({
+                    "image_id": rec.image_id,
+                    "edges_inside": int(edge_detection(gaps, True).sum()),
+                    "edges_outside": int(edge_detection(gaps, False).sum()),
+                })
+            yield pd.DataFrame(out, columns=["image_id", "edges_inside",
+                                             "edges_outside"])
+
+    return synthetic_tiles(spark, 4, 4).mapInPandas(
+        run, schema="image_id string, edges_inside long, edges_outside long")
+
+
+def _chull_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster_chull_mask (common.R:459-472): per-tile convex hull of the
+    inventory positions rasterized to a mask; returns mask cell counts."""
+    import pandas as pd
+
+    from lidartree_spark.operators.tiles import synthetic_ref_trees
+
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from lidartree_spark.generator import tile_origin
+        from lidartree_spark.kernels.geometry import (
+            convex_hull,
+            points_in_polygon,
+        )
+        if len(pdf) < 3:
+            return pd.DataFrame(columns=["image_id", "mask_cells",
+                                         "hull_pts"])
+        row = int(key[0][1:5]); col = int(key[0][6:10])
+        x0, y1 = tile_origin(row, col)
+        ring = convex_hull(pdf[["x", "y"]].to_numpy())
+        jj, ii = np.meshgrid(np.arange(64), np.arange(64))
+        cx = x0 + (jj + 0.5) * 0.5
+        cy = y1 - (ii + 0.5) * 0.5
+        inside = points_in_polygon(cx.ravel(), cy.ravel(), ring)
+        return pd.DataFrame([{"image_id": key[0],
+                              "mask_cells": int(inside.sum()),
+                              "hull_pts": int(len(ring) - 1)}])
+
+    ref = synthetic_ref_trees(spark, 4, 4)
+    return ref.groupBy("image_id").applyInPandas(
+        run, schema="image_id string, mask_cells long, hull_pts long")
+
+
 _NO_ORACLE = {
     "tree_detect_tiles": _flagship_detect,
     "tree_match_greedy": _match_greedy,
@@ -815,6 +906,10 @@ _NO_ORACLE = {
     "ann_lsh": _ann_lsh,
     "multimodal_image_features": _multimodal_features,
     "checkpointed_detect": _checkpointed_detect,
+    "points_to_tiles_detect": _points_to_tiles,
+    "clouds_tree_metrics": _tree_metrics,
+    "edge_detection_stats": _edge_stats,
+    "raster_chull_mask": _chull_mask,
 }
 
 
