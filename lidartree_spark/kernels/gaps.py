@@ -28,6 +28,7 @@ def gap_detection(
     nl_filter: str = "Median",
     nl_size: int = 3,
     gap_reconstruct: bool = False,
+    max_height: float | None = None,
 ) -> dict:
     """Multi-threshold morphological gap detection (gap_detection.R:142-228).
 
@@ -43,7 +44,11 @@ def gap_detection(
         non_gap = (c > gap_max_height).astype(np.float64)
     else:
         non_gap = np.zeros_like(c)
-        top = max(gap_max_height, min(float(c.max()), 60.0))
+        # max_height pins the height-bin loop bound; pass a corpus-wide
+        # constant when tiles are processed independently so per-tile results
+        # are identical to a mosaic run (cross-tile merge relies on this)
+        top_src = float(c.max()) if max_height is None else float(max_height)
+        top = max(gap_max_height, min(top_src, 60.0))
         i = gap_max_height
         while i <= top + 1e-9:
             binary = (c > i).astype(np.float64)

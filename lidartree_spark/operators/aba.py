@@ -128,6 +128,86 @@ def wilcoxon_pvalue(a: np.ndarray, b: np.ndarray) -> float:
 # --------------------------------------------------------------------------
 # Box-Cox lambda by maximum likelihood (car::powerTransform equivalent)
 
+def chi2_sf(x: float, df: int) -> float:
+    """Chi-square survival function for small integer df, closed-form:
+    even df -> exp(-x/2) * sum_{k<df/2} (x/2)^k / k!; df=1 -> erfc(sqrt(x/2)).
+    Covers the gvlma battery (df 1 for directional stats, 4 for the global
+    stat) without a generic incomplete-gamma implementation."""
+    if x <= 0:
+        return 1.0
+    if df == 1:
+        return math.erfc(math.sqrt(x / 2.0))
+    if df % 2 == 0:
+        h = x / 2.0
+        term, acc = 1.0, 1.0
+        for k in range(1, df // 2):
+            term *= h / k
+            acc += term
+        return math.exp(-h) * acc
+    # odd df > 1: recurrence Q(df) = Q(df-2) + pdf-term
+    q = math.erfc(math.sqrt(x / 2.0))
+    h = math.sqrt(x / 2.0)
+    term = 2.0 / math.sqrt(math.pi) * h * math.exp(-x / 2.0)
+    for k in range(1, (df - 1) // 2 + 1):
+        q += term
+        term *= x / (2.0 * k + 1.0)
+    return q
+
+
+def gvlma_tests(X: np.ndarray, y: np.ndarray, alpha: float = 0.1) -> dict:
+    """Global validation of linear model assumptions — numpy re-derivation
+    of the Pena & Slate (2006) statistics used by gvlma::gvlma as consumed
+    in lma_check (/root/reference/R/aba.R:335-344, alphalevel = 0.1):
+
+    - skewness:  S1 = n * b1^2 / 6,            b1 = mean(e_std^3)
+    - kurtosis:  S2 = n * (b2 - 3)^2 / 24,     b2 = mean(e_std^4)
+    - link:      S3 = score test for adding yhat^2 (residualized vs X)
+    - heterosc.: S4 = Cook-Weisberg score test with variance ~ yhat
+    - global:    G4 = S1 + S2 + S3 + S4 ~ chi2(4)
+
+    with e_std = e / sqrt(mean(e^2)) (MLE scaling). Each directional stat is
+    chi2(1). "acceptable" mirrors gvlma Decision == 0: p > alpha.
+    Documented deviation: gvlma's exact heteroscedasticity covariate scaling
+    may differ in low-order terms; the decision behavior (violation
+    detection at alpha = 0.1) is what lma_check consumes and is pinned by
+    tests/test_gvlma.py.
+    """
+    X = np.asarray(X, float)
+    y = np.asarray(y, float)
+    n = len(y)
+    XtX_inv = np.linalg.inv(X.T @ X)
+    coef = XtX_inv @ X.T @ y
+    yhat = X @ coef
+    e = y - yhat
+    s2 = float(e @ e) / n
+    estd = e / math.sqrt(s2)
+
+    b1 = float(np.mean(estd ** 3))
+    b2 = float(np.mean(estd ** 4))
+    s_skew = n * b1 * b1 / 6.0
+    s_kurt = n * (b2 - 3.0) ** 2 / 24.0
+
+    # link function: score statistic for the added regressor yhat^2
+    q = yhat ** 2
+    qstar = q - X @ (XtX_inv @ (X.T @ q))
+    qq = float(qstar @ qstar)
+    s_link = (float(e @ qstar) ** 2) / (s2 * qq) if qq > 1e-12 else 0.0
+
+    # heteroscedasticity: Cook-Weisberg score with z = yhat (centered)
+    g = e * e / s2 - 1.0
+    z = yhat - yhat.mean()
+    zz = float(z @ z)
+    s_het = (float(g @ z) ** 2) / (2.0 * zz) if zz > 1e-12 else 0.0
+
+    g4 = s_skew + s_kurt + s_link + s_het
+    stats = {"global": g4, "skewness": s_skew, "kurtosis": s_kurt,
+             "link": s_link, "heteroscedasticity": s_het}
+    pvals = {k: chi2_sf(v, 4 if k == "global" else 1)
+             for k, v in stats.items()}
+    return {"stats": stats, "pvalues": pvals,
+            "acceptable": all(p > alpha for p in pvals.values())}
+
+
 def boxcox_lambda_mle(y: np.ndarray, grid=None) -> float:
     y = np.asarray(y, float)
     y = y[np.isfinite(y) & (y > 0)]
@@ -244,6 +324,10 @@ def aba_build_model(pdf, variable: str, predictors: list[str],
                 tvals = coef / se
             pvals = [t_sf(abs(t), n - k - 1) for t in tvals[1:]]
             ok &= max(pvals) < 0.05 if pvals else False
+        if ok and "gvlma" in tests:
+            # lma_check requires every Pena-Slate decision acceptable at
+            # alphalevel 0.1 (aba.R:335-349)
+            ok &= gvlma_tests(X, y, alpha=0.1)["acceptable"]
         if ok and "vif" in tests and k > 1:
             Xp = Xfull[:, combo]
             vifs = []

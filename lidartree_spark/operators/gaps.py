@@ -3,9 +3,15 @@
 Re-expresses gap_detection (/root/reference/R/gap_detection.R:142-228) as a
 zero-shuffle mapInPandas stage: one tile row in, one row per detected gap
 out (gap_id, pixel count, surface), plus optional re-encoded label layers.
-Cross-tile gap merging (label equivalence across borders) is a documented
-v2 item (SURVEY.md §7 hard parts); with halo-padded input, gaps are measured
-on the core region only so per-gap surfaces never double-count.
+
+detect_gaps_global adds the cross-tile merge (SURVEY.md §7 "hard parts"):
+halo-padded per-tile labeling, border-strip equivalence edges between
+adjacent tiles, distributed min-label propagation to connected components,
+then a global re-aggregation + surface filter — so a gap spanning many tiles
+is counted once with its true total surface, exactly like running the
+reference on the stitched mosaic (given halo >= the morphological support,
+the same chunk-buffer contract as the reference's >= 20 m gap buffer
+warning, gap_detection.R:100-101).
 """
 
 from __future__ import annotations
@@ -14,6 +20,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 GAPS_SCHEMA = ("image_id string, gap_id long, n_pixels long, surface double, "
                "touches_border boolean")
@@ -66,3 +73,183 @@ def detect_gaps(tiles: DataFrame, params: dict | None = None) -> DataFrame:
                                              "surface", "touches_border"])
 
     return tiles.select(*cols).mapInPandas(run, schema=GAPS_SCHEMA)
+
+
+_LABELED_SCHEMA = ("image_id string, kind string, gap_id long, n_pixels long, "
+                   "edge string, pos int")
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 25,
+                         driver_threshold: int = 0) -> DataFrame:
+    """Distributed connected components over (a, b) string-node edges by
+    min-label propagation: comp(v) <- min(comp(v), min over neighbors) until
+    fixpoint. Converges in O(component diameter) rounds — for cross-tile
+    gaps the diameter is the tile-span of the largest gap, so a handful of
+    rounds; each round is one shuffle join. Fully distributed (no
+    driver-side union-find), which is what survives 10^12 tiles where the
+    edge set itself can be billions of rows. Returns (node, comp).
+
+    driver_threshold > 0 enables a hybrid: if the (deduped) edge count is
+    below it, the edges are collected and resolved with a driver-side
+    union-find — one job instead of O(diameter) rounds. The same
+    small-side-materialization tradeoff Catalyst makes for broadcast joins;
+    the min-label result is identical because the component representative
+    is the lexicographic min node either way."""
+    edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+             .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+             .distinct()
+             .persist())
+    if driver_threshold > 0:
+        sample = edges.limit(driver_threshold + 1).collect()
+        if len(sample) <= driver_threshold:
+            parent: dict[str, str] = {}
+
+            def find(x: str) -> str:
+                root = x
+                while parent.get(root, root) != root:
+                    root = parent[root]
+                while parent.get(x, x) != x:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in sample:
+                ra, rb = find(r.u), find(r.v)
+                if ra != rb:
+                    # min-root keeps parity with min-label propagation
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            nodes = {x for r in sample for x in (r.u, r.v)}
+            edges.unpersist()
+            if not nodes:
+                return pairs.sparkSession.createDataFrame(
+                    [], "node string, comp string")
+            return pairs.sparkSession.createDataFrame(
+                pd.DataFrame([{"node": x, "comp": find(x)}
+                              for x in sorted(nodes)]))
+    labels = (edges.select(F.col("u").alias("node")).distinct()
+              .withColumn("comp", F.col("node"))
+              .persist())
+    labels.count()
+    for _ in range(max_iters):
+        neigh = (edges.join(labels.withColumnRenamed("node", "v")
+                            .withColumnRenamed("comp", "vcomp"), "v")
+                 .groupBy("u").agg(F.min("vcomp").alias("ncomp"))
+                 .withColumnRenamed("u", "node"))
+        new = (labels.join(neigh, "node", "left")
+               .select("node",
+                       F.least("comp", F.coalesce("ncomp", "comp"))
+                       .alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .where("n.comp != o.comp").count())
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def detect_gaps_global(tiles: DataFrame, params: dict | None = None,
+                       halo_px: int = 16) -> DataFrame:
+    """Corpus-wide gap detection with exact cross-tile label merge.
+
+    Stages: (1) halo exchange; (2) per-tile labeling on the padded array,
+    cropped to core — with `max_height` pinned so every tile runs the same
+    height-bin ladder; (3) one mapInPandas pass emits per-gap pixel counts
+    AND the four core border strips (only gap pixels); (4) adjacent border
+    strips join on the shared boundary key -> label-equivalence edges;
+    (5) min-label propagation -> global component ids; (6) global
+    re-aggregation and the reference's surface filter
+    (gap_detection.R:222-224) applied on TRUE total surfaces.
+
+    Output: (gap_key, n_pixels, surface, n_tiles). halo_px must cover the
+    closing-disk support for the tallest height bin — the reference's own
+    >= 20 m buffer contract (gap_detection.R:100-101).
+    """
+    from lidartree_spark.operators.halo import with_halo
+
+    p = {**GAP_PARAMS, "max_height": 20.0, **(params or {})}
+    min_surf, max_surf = p["min_gap_surface"], p["max_gap_surface"]
+    res = p["res"]
+    padded = with_halo(tiles, halo_px)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from lidartree_spark.codecs import decode_tile
+        from lidartree_spark.kernels.gaps import gap_detection
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                chm = decode_tile(rec.bytes, rec.fmt, rec.w, rec.h)
+                g = gap_detection(
+                    chm, res=res, ratio=p["ratio"],
+                    gap_max_height=p["gap_max_height"],
+                    # keep every label: the surface filter must run on the
+                    # GLOBAL surface after the merge, not per tile
+                    min_gap_surface=0.0, max_gap_surface=float("inf"),
+                    closing_height_bin=p["closing_height_bin"],
+                    nl_filter=p["nl_filter"], nl_size=p["nl_size"],
+                    gap_reconstruct=p["gap_reconstruct"],
+                    max_height=p["max_height"])
+                lab = g["gap_id"].astype(np.int64)
+                pad = int(getattr(rec, "pad", 0))
+                core = lab[pad:lab.shape[0] - pad or None,
+                           pad:lab.shape[1] - pad or None]
+                ids, counts = np.unique(core[core > 0], return_counts=True)
+                for gid, n in zip(ids.tolist(), counts.tolist()):
+                    out.append({"image_id": rec.image_id, "kind": "gap",
+                                "gap_id": int(gid), "n_pixels": int(n),
+                                "edge": None, "pos": None})
+                for edge, strip in (("n", core[0, :]), ("s", core[-1, :]),
+                                    ("w", core[:, 0]), ("e", core[:, -1])):
+                    for pos in np.nonzero(strip)[0]:
+                        out.append({"image_id": rec.image_id,
+                                    "kind": "border",
+                                    "gap_id": int(strip[pos]),
+                                    "edge": edge, "pos": int(pos),
+                                    "n_pixels": 0})
+            yield pd.DataFrame(out, columns=["image_id", "kind", "gap_id",
+                                             "n_pixels", "edge", "pos"])
+
+    labeled = padded.mapInPandas(run, schema=_LABELED_SCHEMA).persist()
+    gaps = labeled.where("kind = 'gap'")
+    borders = (labeled.where("kind = 'border'")
+               .withColumn("r", F.substring("image_id", 2, 4).cast("int"))
+               .withColumn("c", F.substring("image_id", 7, 4).cast("int"))
+               .withColumn("node", F.concat_ws("|", "image_id", "gap_id")))
+    # boundary keys: vertical boundary ('v', r, c) sits between (r, c) and
+    # (r, c+1); horizontal ('h', r, c) between (r, c) and (r+1, c). Array
+    # row 0 = top = north; e/w strips index by array row, n/s by column —
+    # facing strips share the same pos.
+    side_a = borders.where("edge IN ('e', 'n')").select(
+        F.when(F.col("edge") == "e", F.concat_ws("_", F.lit("v"), "r", "c"))
+        .otherwise(F.concat_ws("_", F.lit("h"), "r", "c")).alias("bkey"),
+        "pos", F.col("node").alias("a"))
+    side_b = borders.where("edge IN ('w', 's')").select(
+        F.when(F.col("edge") == "w",
+               F.concat_ws("_", F.lit("v"), "r", F.col("c") - 1))
+        .otherwise(F.concat_ws("_", F.lit("h"), F.col("r") - 1, "c"))
+        .alias("bkey"),
+        "pos", F.col("node").alias("b"))
+    pairs = (side_a.join(side_b, ["bkey", "pos"])
+             .select("a", "b").distinct())
+
+    # hybrid CC: cross-border gap edges are O(border gap pixels) — tiny
+    # relative to the corpus — so the driver union-find path almost always
+    # wins; past the threshold it degrades to distributed propagation
+    comp = connected_components(pairs, driver_threshold=2_000_000)
+    merged = (gaps
+              .withColumn("node", F.concat_ws("|", "image_id", "gap_id"))
+              .join(comp, "node", "left")
+              .withColumn("gap_key", F.coalesce("comp", "node"))
+              .groupBy("gap_key")
+              .agg(F.sum("n_pixels").alias("n_pixels"),
+                   F.countDistinct("image_id").alias("n_tiles"))
+              .withColumn("surface",
+                          F.col("n_pixels") * F.lit(res * res))
+              .where((F.col("surface") >= min_surf)
+                     & (F.col("surface") <= max_surf))
+              .select("gap_key", "n_pixels", "surface", "n_tiles"))
+    return merged

@@ -61,6 +61,121 @@ def points_to_tiles(points: DataFrame, res: float = 0.5, tile_px: int = 64,
                 "caption string, phash long"))
 
 
+def points_to_dtm_tiles(points: DataFrame, res: float = 0.5,
+                        tile_px: int = 64, halo_m: float = 8.0,
+                        x_col: str = "x", y_col: str = "y",
+                        z_col: str = "z") -> DataFrame:
+    """Distributed points2DTM (/root/reference/R/common.R:105-123): ground
+    points -> Delaunay TIN -> linear interpolation at cell centers
+    (lidR `rasterize_terrain(tin())` semantics), as dense DTM tiles.
+
+    Scale design: each point is shuffled to its home tile AND to any
+    neighbor tile whose halo_m-expanded bbox contains it (<= 4 copies, one
+    `explode` + filter, all Catalyst) so border triangles are identical to a
+    global triangulation wherever the nearest hull edge is > halo_m out —
+    the same chunk-buffer contract the reference inherits from lidR
+    (buffer >= 10 m warning, tree_detection.R:114-115). One hash shuffle on
+    (row, col); the Delaunay itself is per-tile numpy in a grouped UDF.
+    Core cells outside the local convex hull are NaN (terra NA semantics).
+    """
+    span = tile_px * res
+    expanded = (points
+                .select(F.col(x_col).alias("x"), F.col(y_col).alias("y"),
+                        F.col(z_col).alias("z"))
+                .withColumn("home_c", F.floor(F.col("x") / span).cast("int"))
+                .withColumn("home_r", F.floor(F.col("y") / span).cast("int"))
+                .select("x", "y", "z", "home_r", "home_c",
+                        F.explode(F.expr(
+                            "transform(sequence(0, 8), "
+                            "i -> struct(i div 3 - 1 AS dr, i % 3 - 1 AS dc))"
+                        )).alias("d"))
+                .withColumn("row", F.col("home_r") + F.col("d.dr"))
+                .withColumn("col", F.col("home_c") + F.col("d.dc"))
+                .where((F.col("row") >= 0) & (F.col("col") >= 0))
+                .where((F.col("x") >= F.col("col") * span - halo_m)
+                       & (F.col("x") < (F.col("col") + 1) * span + halo_m)
+                       & (F.col("y") >= F.col("row") * span - halo_m)
+                       & (F.col("y") < (F.col("row") + 1) * span + halo_m))
+                .select("row", "col", "x", "y", "z",
+                        ((F.col("d.dr") == 0) & (F.col("d.dc") == 0))
+                        .alias("is_core")))
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from lidartree_spark.codecs import encode_tile, phash64
+        from lidartree_spark.kernels.tin import tin_interpolate
+        row, col = int(key[0]), int(key[1])
+        if not pdf["is_core"].any():
+            # tile exists only as a neighbor's halo -> not part of the corpus
+            return pd.DataFrame(columns=["image_id", "bytes", "w", "h",
+                                         "fmt", "caption", "phash"])
+        x0, y1 = col * span, (row + 1) * span
+        gx = x0 + (np.arange(tile_px) + 0.5) * res
+        gy = y1 - (np.arange(tile_px) + 0.5) * res
+        pts = pdf[["x", "y"]].to_numpy()
+        if len(pts) < 3:
+            arr = np.full((tile_px, tile_px), np.nan, dtype=np.float64)
+        else:
+            arr = tin_interpolate(pts, pdf["z"].to_numpy(), gx, gy)
+        image_id = f"t{row:04d}_{col:04d}"
+        a32 = arr.astype(np.float32)
+        return pd.DataFrame([{
+            "image_id": image_id,
+            "bytes": encode_tile(a32, "raw_f32"),
+            "w": tile_px, "h": tile_px, "fmt": "raw_f32",
+            "caption": f"DTM tile {image_id} from TIN, res {res} m",
+            "phash": phash64(np.nan_to_num(a32)),
+        }])
+
+    return expanded.groupBy("row", "col").applyInPandas(
+        assemble,
+        schema=("image_id string, bytes binary, w int, h int, fmt string, "
+                "caption string, phash long"))
+
+
+def normalize_tiles(dsm: DataFrame, dtm: DataFrame) -> DataFrame:
+    """normalize_height: CHM = DSM - DTM per tile (the
+    `lidR::normalize_height(tin())` + `rasterize_canopy` step,
+    tree_detection.R:178-182). Equi-join on image_id (both sides already
+    partitioned by tile id — co-located, no extra shuffle beyond the join),
+    pixel subtraction in a vectorized UDF. Cells where either side is NaN
+    stay NaN; negative heights clamp to 0 (lidR convention for points below
+    the interpolated ground)."""
+    from typing import Iterator
+
+    joined = (dsm.select("image_id",
+                         F.col("bytes").alias("dsm_bytes"),
+                         F.col("fmt").alias("dsm_fmt"), "w", "h",
+                         "caption", "phash")
+              .join(dtm.select("image_id",
+                               F.col("bytes").alias("dtm_bytes"),
+                               F.col("fmt").alias("dtm_fmt")),
+                    "image_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        from lidartree_spark.codecs import decode_tile, encode_tile, phash64
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                dsm_a = decode_tile(rec.dsm_bytes, rec.dsm_fmt, rec.w, rec.h)
+                dtm_a = decode_tile(rec.dtm_bytes, rec.dtm_fmt, rec.w, rec.h)
+                chm = np.maximum(dsm_a - dtm_a, 0.0).astype(np.float32)
+                out.append({
+                    "image_id": rec.image_id,
+                    "bytes": encode_tile(chm, "raw_f32"),
+                    "w": rec.w, "h": rec.h, "fmt": "raw_f32",
+                    "caption": rec.caption,
+                    "phash": phash64(np.nan_to_num(chm)),
+                })
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h",
+                                             "fmt", "caption", "phash"])
+
+    return joined.mapInPandas(
+        run, schema=("image_id string, bytes binary, w int, h int, "
+                     "fmt string, caption string, phash long"))
+
+
 def std_tree_metrics_df(trees: DataFrame, area_ha: float,
                         key: str = "image_id") -> DataFrame:
     """Tree metrics per plot (metrics.R:200-214): mean/sd/gini of apex

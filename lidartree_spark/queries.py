@@ -717,6 +717,16 @@ def _gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_gaps(synthetic_tiles(spark, 4, 4))
 
 
+def _gap_detect_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide gap detection with exact cross-tile label merge (halo
+    labeling + min-label propagation; SURVEY.md §7 hard part, validated
+    against the mosaic oracle in tests/test_gap_merge.py)."""
+    from lidartree_spark.operators.gaps import detect_gaps_global
+    from lidartree_spark.operators.tiles import synthetic_tiles
+    return detect_gaps_global(synthetic_tiles(spark, 4, 4),
+                              {"max_height": 20.0})
+
+
 def _coregistration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped moving-correlation coregistration
     (coregistration.R:396-430)."""
@@ -826,6 +836,29 @@ def _points_to_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_trees(points_to_tiles(pts))
 
 
+def _points2dtm_normalize_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete tree_detection(las) lifecycle (tree_detection.R:173-206):
+    ground points -> TIN DTM (points2DTM, common.R:105-123), all points ->
+    max-in-cell DSM (points2DSM, common.R:53-70), CHM = normalize_height
+    (DSM - DTM), then per-tile segmentation + extraction."""
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.operators.rasterize import (
+        normalize_tiles,
+        points_to_dtm_tiles,
+        points_to_tiles,
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where("event_id < 4000")
+    base = ev.selectExpr("value * 3.0 AS x",
+                         "CAST(user_id AS DOUBLE) * 0.64 AS y",
+                         "event_id")
+    ground = base.selectExpr("x", "y", "100.0 + 0.05*x + 0.03*y AS z")
+    canopy = base.selectExpr(
+        "x", "y", "100.0 + 0.05*x + 0.03*y + 8.0 + (event_id % 25) AS z")
+    dtm = points_to_dtm_tiles(ground, halo_m=8.0)
+    dsm = points_to_tiles(ground.union(canopy))
+    return detect_trees(normalize_tiles(dsm, dtm))
+
+
 def _tree_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """clouds_tree_metrics: per-tile detection + tree-level summary
     aggregates incl. Gini (metrics.R:200-214, 397-457)."""
@@ -902,11 +935,13 @@ _NO_ORACLE = {
     "tiles_decode_invariants": _decode_invariants,
     "tree_detect_halo": _halo_detect,
     "gap_detection": _gap_detect,
+    "gap_detection_global": _gap_detect_global,
     "coregistration": _coregistration,
     "ann_lsh": _ann_lsh,
     "multimodal_image_features": _multimodal_features,
     "checkpointed_detect": _checkpointed_detect,
     "points_to_tiles_detect": _points_to_tiles,
+    "points2dtm_normalize_detect": _points2dtm_normalize_detect,
     "clouds_tree_metrics": _tree_metrics,
     "edge_detection_stats": _edge_stats,
     "raster_chull_mask": _chull_mask,
