@@ -137,7 +137,18 @@ def main() -> None:
     from lidartree_spark.session import get_spark
 
     spark = get_spark("bench-sql", master=f"local[{CPUS}]")
+
+    def _warm(batches):
+        # fork + heavy imports in every python worker slot, untimed — same
+        # policy as the tile-pipeline warmup pass
+        import numpy  # noqa: F401
+        from lidartree_spark import codecs  # noqa: F401
+        from lidartree_spark.kernels import gaps, tin  # noqa: F401
+        yield from batches
+
     try:
+        spark.range(0, int(CPUS) * 4, 1, int(CPUS)) \
+            .mapInPandas(_warm, "id long").count()
         qs = queries()
         for name, fn in qs.items():
             if name in ("tree_detect_tiles", "tree_match_greedy",
@@ -147,10 +158,14 @@ def main() -> None:
                         "points_to_tiles_detect", "clouds_tree_metrics",
                         "edge_detection_stats", "raster_chull_mask"):
                 continue  # tile-pipeline ops, covered by the headline number
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            results[name] = round(time.time() - t0, 3)
+            best = None
+            for _ in range(2):  # min-of-2: first run pays codegen/JIT
+                t0 = time.time()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            results[name] = round(best, 3)
     finally:
         spark.stop()
 

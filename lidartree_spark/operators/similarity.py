@@ -2,14 +2,22 @@
 
 - brute_force_topk: exact cosine top-k (the baseline; also expressed in pure
   SQL as queries.py `embedding_topk` with a DuckDB oracle).
-- lsh_topk: the scale path — sign-random-projection LSH with L independent
+- lsh_topk: scale path #1 — sign-random-projection LSH with L independent
   hash tables. Hashing is a vectorized numpy matmul per Arrow batch
   (mapInPandas); candidates come from one equi-join on (table, bucket);
   exact cosine rerank + window top-k. At 10^12 rows the only shuffle is the
   bucket join, whose build side (the query set) is broadcast.
+- ivf_topk: scale path #2 — IVF (inverted-file) index: a small centroid
+  codebook trained with distributed Lloyd iterations (assignment =
+  vectorized matmul per Arrow batch; update = per-partition partial sums
+  combined on the driver — the classic map-side-combine k-means), base
+  vectors partitioned by nearest centroid, queries probe their `nprobe`
+  nearest cells, exact rerank inside the probed cells. On a real corpus the
+  cell id is the table's partition/bucket key, so a probe prunes
+  (1 - nprobe/C) of the scan before any I/O.
 
-Planes are seeded deterministically, so hashing is reproducible across
-executors and runs.
+Planes / centroid init are seeded deterministically, so results are
+reproducible across executors and runs.
 """
 
 from __future__ import annotations
@@ -70,6 +78,115 @@ def _bucketize(df: DataFrame, id_col: str, vec_col: str, n_tables: int,
             yield pd.concat(rows, ignore_index=True)
 
     return df.select(id_col, vec_col).mapInPandas(run, schema=out_schema)
+
+
+def train_centroids(embeddings: DataFrame, n_centroids: int = 16,
+                    iters: int = 2, id_col: str = "vec_id",
+                    vec_col: str = "embedding", seed: int = 131) -> np.ndarray:
+    """Deterministic distributed k-means for the IVF codebook.
+
+    Init: the n_centroids rows with the smallest md5-derived hash of their
+    id (a seeded uniform sample that needs no Date/rand state). Each Lloyd
+    iteration is one pass: per Arrow batch, assign via matmul and emit
+    per-centroid (sum_vec, count) partials; partials (<= partitions x C
+    rows) are combined on the driver. Empty cells keep their previous
+    centroid."""
+    init = (embeddings
+            .select(id_col, vec_col)
+            .withColumn("_h", F.md5(F.concat_ws("|", F.lit(seed),
+                                                F.col(id_col).cast("string"))))
+            .orderBy("_h")
+            .limit(n_centroids)
+            .select(vec_col)
+            .collect())
+    centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
+
+    partial_schema = "cid int, n long, sums array<double>"
+    for _ in range(iters):
+        cen = centroids  # captured by value in the closure below
+
+        def partials(batches):
+            acc_n = np.zeros(len(cen), dtype=np.int64)
+            acc_s = np.zeros_like(cen)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d2 = ((vecs[:, None, :] - cen[None, :, :]) ** 2).sum(2)
+                a = d2.argmin(1)
+                np.add.at(acc_n, a, 1)
+                np.add.at(acc_s, a, vecs)
+            nz = np.nonzero(acc_n)[0]
+            yield pd.DataFrame({"cid": nz.astype(int),
+                                "n": acc_n[nz],
+                                "sums": [acc_s[i].tolist() for i in nz]})
+
+        rows = (embeddings.select(vec_col)
+                .mapInPandas(partials, schema=partial_schema).collect())
+        new = centroids.copy()
+        tot_n = np.zeros(len(centroids), dtype=np.int64)
+        tot_s = np.zeros_like(centroids)
+        for r in rows:
+            tot_n[r.cid] += r.n
+            tot_s[r.cid] += np.asarray(r.sums)
+        nz = tot_n > 0
+        new[nz] = tot_s[nz] / tot_n[nz, None]
+        centroids = new
+    return centroids
+
+
+def _assign_cells(df: DataFrame, centroids: np.ndarray, nprobe: int,
+                  id_col: str, vec_col: str, out_id: str) -> DataFrame:
+    """id -> its nprobe nearest centroid ids (vectorized matmul per batch)."""
+    schema = f"{out_id} long, cid int"
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(2)
+            near = np.argsort(d2, axis=1)[:, :nprobe]
+            ids = np.repeat(pdf[id_col].to_numpy(), nprobe)
+            yield pd.DataFrame({out_id: ids, "cid": near.ravel()})
+
+    return df.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+             n_centroids: int = 16, nprobe: int = 4, iters: int = 2,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate top-k: base vectors live in their nearest-centroid
+    cell (1 cell each); queries probe their nprobe nearest cells; exact
+    cosine rerank within the probed cells; window top-k. nprobe ==
+    n_centroids degenerates to the exact brute force (used as the recall
+    sanity bound in tests)."""
+    if centroids is None:
+        centroids = train_centroids(embeddings, n_centroids, iters,
+                                    id_col, vec_col)
+    base_cells = _assign_cells(embeddings, centroids, 1, id_col, vec_col,
+                               "vec_id")
+    query_cells = _assign_cells(queries, centroids, nprobe, id_col, vec_col,
+                                "qid")
+    cand = (base_cells.join(F.broadcast(query_cells), "cid")
+            .where(F.col("qid") != F.col("vec_id"))
+            .select("qid", "vec_id").distinct())
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    b = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("bv"))
+    dot = F.aggregate(F.zip_with("qv", "bv", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    nrm = (F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x),
+                              F.lit(0.0), lambda a, v: a + v))
+           * F.sqrt(F.aggregate(F.transform("bv", lambda x: x * x),
+                                F.lit(0.0), lambda a, v: a + v)))
+    scored = (cand.join(b, "vec_id").join(F.broadcast(q), "qid")
+              .withColumn("cosine", dot / nrm))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= k)
+            .select("qid", "vec_id", "rk", "cosine"))
 
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,

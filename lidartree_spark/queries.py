@@ -666,6 +666,76 @@ FROM ranked WHERE rk <= 5
 """
 
 
+# Embedding-cosine near-dup: corpus = originals UNION mildly perturbed
+# copies (v'[i] = v[i] + v[(i mod 64) + 1] div 10 over the QUANTIZED
+# integers — quantize-then-perturb keeps everything integer-exact; a
+# pre-quantization float mix hits ROUND half-boundaries because the source
+# embeddings live on a 1e-4 grid and the engines' ROUND differs there);
+# report pairs with exact cosine >= 0.95 — planted pairs score ~0.995,
+# random pairs < 0.8 on this corpus. Scale path for the same semantics is
+# LSH banding (ann_lsh / minhash_lsh); this is the exact gate.
+_NEARDUP_SPARK = """
+WITH orig AS (
+  SELECT vec_id AS id,
+         transform(sequence(1, 64),
+                   i -> CAST(ROUND(element_at(embedding, i) * 10000, 0)
+                             AS BIGINT)) AS v
+  FROM embeddings WHERE vec_id < 300
+), pert AS (
+  SELECT id + 100000 AS id,
+         transform(sequence(1, 64),
+                   i -> element_at(v, i)
+                        + CAST(FLOOR(CAST(element_at(v, i % 64 + 1) AS DOUBLE)
+                                     / 10.0) AS BIGINT)) AS v
+  FROM orig
+), corpus AS (
+  SELECT * FROM orig UNION ALL SELECT * FROM pert
+), scored AS (
+  SELECT a.id AS doc_a, b.id AS doc_b,
+         aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0L,
+                   (acc, t) -> acc + t) AS dot,
+         aggregate(transform(a.v, x -> x * x), 0L, (acc, t) -> acc + t) AS na,
+         aggregate(transform(b.v, x -> x * x), 0L, (acc, t) -> acc + t) AS nb
+  FROM corpus a JOIN corpus b ON a.id < b.id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(dot AS DOUBLE)
+             / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine
+FROM scored
+WHERE CAST(dot AS DOUBLE)
+      / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.95
+"""
+_NEARDUP_DUCK = """
+WITH orig AS (
+  SELECT vec_id AS id,
+         list_transform(range(1, 65),
+                        i -> CAST(ROUND(embedding[i] * 10000) AS BIGINT)) AS v
+  FROM embeddings WHERE vec_id < 300
+), pert AS (
+  SELECT id + 100000 AS id,
+         list_transform(range(1, 65),
+                        i -> v[i]
+                             + CAST(FLOOR(CAST(v[i % 64 + 1] AS DOUBLE)
+                                          / 10.0) AS BIGINT)) AS v
+  FROM orig
+), corpus AS (
+  SELECT * FROM orig UNION ALL SELECT * FROM pert
+), scored AS (
+  SELECT a.id AS doc_a, b.id AS doc_b,
+         list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS dot,
+         list_sum(list_transform(a.v, x -> x * x)) AS na,
+         list_sum(list_transform(b.v, x -> x * x)) AS nb
+  FROM corpus a JOIN corpus b ON a.id < b.id
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(dot AS DOUBLE)
+             / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine
+FROM scored
+WHERE CAST(dot AS DOUBLE)
+      / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.95
+"""
+
+
 # ---------------------------------------------------------------------------
 # Non-SQL tile-pipeline operators (rows-only driver check; full validation in
 # tests/ against the numpy oracle).
@@ -780,6 +850,7 @@ _DIALECT = {
     "ngram_jaccard": (_jaccard_sql(_SHINGLES_SPARK),
                       _jaccard_sql(_SHINGLES_DUCK)),
     "simhash": (_SIMHASH_SPARK, _SIMHASH_DUCK),
+    "embedding_neardup": (_NEARDUP_SPARK, _NEARDUP_DUCK),
 }
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,6 +860,16 @@ def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lidartree_spark.operators.similarity import lsh_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return lsh_topk(emb, emb.where("vec_id < 8"), k=5)
+
+
+def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate nearest neighbors (scale path #2:
+    centroid-partitioned cells + nprobe search; recall + full-probe
+    exactness asserted in tests/test_similarity_multimodal_checkpoint.py)."""
+    from lidartree_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ivf_topk(emb, emb.where("vec_id < 8"), k=5, n_centroids=16,
+                    nprobe=4)
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -848,8 +929,9 @@ def _points2dtm_normalize_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         points_to_tiles,
     )
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").where("event_id < 4000")
-    base = ev.selectExpr("value * 3.0 AS x",
-                         "CAST(user_id AS DOUBLE) * 0.64 AS y",
+    # compact 160x160 m domain (5x5 tiles) -> realistic TIN point density
+    base = ev.selectExpr("(value % 200) * 0.8 AS x",
+                         "CAST(user_id % 200 AS DOUBLE) * 0.8 AS y",
                          "event_id")
     ground = base.selectExpr("x", "y", "100.0 + 0.05*x + 0.03*y AS z")
     canopy = base.selectExpr(
@@ -938,6 +1020,7 @@ _NO_ORACLE = {
     "gap_detection_global": _gap_detect_global,
     "coregistration": _coregistration,
     "ann_lsh": _ann_lsh,
+    "ann_ivf": _ann_ivf,
     "multimodal_image_features": _multimodal_features,
     "checkpointed_detect": _checkpointed_detect,
     "points_to_tiles_detect": _points_to_tiles,

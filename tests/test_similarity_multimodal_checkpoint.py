@@ -12,7 +12,12 @@ from lidartree_spark.operators.multimodal import (
     synthetic_media,
     video_frame_sample,
 )
-from lidartree_spark.operators.similarity import brute_force_topk, lsh_topk
+from lidartree_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_topk,
+    train_centroids,
+)
 from lidartree_spark.plans.checkpoint import Pipeline, Stage
 
 SF = "/root/testdata/sf0.001"
@@ -60,6 +65,44 @@ def test_lsh_topk_recall(spark, emb):
     for r in approx:
         if (r.qid, r.vec_id) in exact_by_pair:
             assert r.cosine == pytest.approx(exact_by_pair[(r.qid, r.vec_id)])
+
+
+def test_ivf_topk_full_probe_is_exact(spark, emb):
+    """nprobe == n_centroids scans every cell -> must equal brute force
+    (pins the whole IVF plumbing: codebook, assignment, rerank)."""
+    q = emb.where("vec_id < 10")
+    exact = {(r.qid, r.rk): r.vec_id
+             for r in brute_force_topk(emb, q, k=5).collect()}
+    full = {(r.qid, r.rk): r.vec_id
+            for r in ivf_topk(emb, q, k=5, n_centroids=8, nprobe=8,
+                              iters=1).collect()}
+    assert full == exact
+
+
+def test_ivf_topk_recall_and_scores(spark, emb):
+    q = emb.where("vec_id < 10")
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4, iters=2).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.qid, set()).add(r.vec_id)
+    hits = sum(len(exact_sets[q_] & approx_sets.get(q_, set()))
+               for q_ in exact_sets)
+    recall = hits / sum(len(s) for s in exact_sets.values())
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+    exact_by_pair = {(r.qid, r.vec_id): r.cosine for r in exact}
+    for r in approx:
+        if (r.qid, r.vec_id) in exact_by_pair:
+            assert r.cosine == pytest.approx(exact_by_pair[(r.qid, r.vec_id)])
+
+
+def test_train_centroids_deterministic(spark, emb):
+    c1 = train_centroids(emb, n_centroids=8, iters=2)
+    c2 = train_centroids(emb, n_centroids=8, iters=2)
+    assert np.allclose(c1, c2)
+    assert c1.shape == (8, 64)
 
 
 def test_resize_bilinear_identity_and_downscale():
