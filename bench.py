@@ -59,7 +59,11 @@ from lidartree_spark.session import get_spark
 spark = get_spark("bench-tiles", master={master!r})
 
 def pipeline(tiles_path, ref_path):
-    tiles = read_tiles(spark, tiles_path)  # splits sized to parallelism
+    # zero-shuffle detection + one AQE-coalesced shuffle for the batched
+    # greedy matcher. Measured faster than the fused broadcast variant
+    # (matching.detect_and_match) at >= 4 cores: the separate shuffle stage
+    # lets matching parallelize independently of scan-task boundaries.
+    tiles = read_tiles(spark, tiles_path)
     det = detect_trees(tiles)
     ref = spark.read.parquet(ref_path)
     return match_trees(ref, det)
@@ -118,8 +122,26 @@ def main() -> None:
     scaling = {}
     if os.environ.get("SPARK_GRAFT_SCALING", "1") == "1":
         n_sc = SCALING_GRID * SCALING_GRID
-        dt_n = run_tile_pipeline("local[1]", paths, SCALING_GRID)
-        dt_4n = run_tile_pipeline("local[4]", paths, SCALING_GRID)
+        # pin an absolute scan-task count for BOTH legs: a real corpus has a
+        # fixed split size regardless of cluster size, and per-task python
+        # overhead must not scale with parallelism or the comparison
+        # measures task count, not the engine
+        os.environ["SPARK_GRAFT_SCAN_TASKS"] = "16"
+        trials_n, trials_4n = [], []
+        try:
+            # interleaved A/B trials, min per leg: co-tenant noise on this
+            # shared host only ever ADDS time, so the minimum is the
+            # capability estimate; interleaving keeps slow windows from
+            # biasing one leg
+            for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS",
+                                              "3"))):
+                trials_n.append(run_tile_pipeline("local[1]", paths,
+                                                  SCALING_GRID))
+                trials_4n.append(run_tile_pipeline("local[4]", paths,
+                                                   SCALING_GRID))
+        finally:
+            os.environ.pop("SPARK_GRAFT_SCAN_TASKS", None)
+        dt_n, dt_4n = min(trials_n), min(trials_4n)
         scaling = {
             "n_cores": 1, "four_n_cores": 4,
             "n_sec": round(dt_n, 3),
@@ -128,6 +150,8 @@ def main() -> None:
             "four_n_tiles_per_sec": round(n_sc / dt_4n, 2),
             "speedup": round(dt_n / dt_4n, 3),
             "efficiency_n_to_4n": round((dt_n / dt_4n) / 4.0, 3),
+            "trials_n_sec": [round(t, 3) for t in trials_n],
+            "trials_4n_sec": [round(t, 3) for t in trials_4n],
             f"local{CPUS}_peak_sec": round(dt, 3),
             f"local{CPUS}_peak_tiles_per_sec": round(n_tiles / dt, 2),
         }

@@ -76,7 +76,7 @@ def synthetic_ref_trees(spark: SparkSession, n_rows: int, n_cols: int,
                 " d double, s string, e int, t int"))
 
 
-def read_tiles(spark: SparkSession, path: str, waves: int = 3) -> DataFrame:
+def read_tiles(spark: SparkSession, path: str, waves: int | None = None) -> DataFrame:
     """Scan a tiles parquet directory with splits sized for UDF-heavy work.
 
     Decode+segment costs seconds per MB, so the default 128 MB splits
@@ -86,9 +86,17 @@ def read_tiles(spark: SparkSession, path: str, waves: int = 3) -> DataFrame:
     """
     import glob
     import os as _os
+    if waves is None:
+        waves = int(_os.environ.get("SPARK_GRAFT_SCAN_WAVES", "3"))
     total = sum(_os.path.getsize(f) for f in glob.glob(f"{path}/*.parquet"))
-    target = max(262_144, min(134_217_728,
-                 total // max(1, spark.sparkContext.defaultParallelism * waves)))
+    # SPARK_GRAFT_SCAN_TASKS pins an ABSOLUTE task count (cluster-size
+    # independent, like a fixed maxPartitionBytes on a real corpus) — used by
+    # the bench scaling pair so per-task python overhead is symmetric
+    # between the N and 4N legs instead of scaling with parallelism.
+    fixed = _os.environ.get("SPARK_GRAFT_SCAN_TASKS")
+    n_tasks = int(fixed) if fixed else \
+        max(1, spark.sparkContext.defaultParallelism * waves)
+    target = max(262_144, min(134_217_728, total // n_tasks))
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(target))
     spark.conf.set("spark.sql.files.openCostInBytes", str(target // 8))
     return spark.read.parquet(path)

@@ -298,3 +298,29 @@ def test_dem_filtering_value_dependent_sigma():
     out2 = dem_filtering(chm, nl_filter="Closing", nl_size=5, sigma=0.3, res=0.5)
     fin = np.nan_to_num(chm.astype(np.float64), nan=0.0)
     assert (out2["non_linear_image"] >= fin - 1e-9).all()  # closing is extensive
+
+
+def test_watershed_packed_equals_tuple_formulation():
+    """The packed-int heap must reproduce the tuple heap bit-exactly,
+    including tie-breaking on flat regions."""
+    import numpy as np
+    from lidartree_spark.generator import gen_tile
+    from lidartree_spark.kernels.detection import (
+        dem_filtering,
+        maxima_detection,
+        maxima_selection,
+    )
+    from lidartree_spark.kernels.segmentation import _watershed_tuple, watershed
+    for i in range(12):
+        _, chm, _ = gen_tile(i, 3)
+        f = dem_filtering(np.nan_to_num(chm), res=0.5)
+        m = maxima_selection(maxima_detection(f["smoothed_image"], res=0.5),
+                             f["non_linear_image"], hmin=0.0)
+        seeds = np.zeros(m.shape, np.int64)
+        ys, xs = np.nonzero(m > 0)
+        seeds[ys, xs] = np.arange(1, len(ys) + 1)
+        if len(ys) == 0:
+            continue
+        fast = watershed(seeds, f["non_linear_image"])
+        ref = _watershed_tuple(seeds, f["non_linear_image"])
+        assert (fast == ref).all()
