@@ -203,11 +203,59 @@ def tree_segmentation(
 
 
 def label_components(mask: np.ndarray) -> np.ndarray:
-    """4-connectivity connected-component labeling, two-pass union-find.
+    """4-connectivity connected-component labeling, fully vectorized.
 
     Labels numbered 1..n in row-major first-pixel order; 0 = background.
     Replaces imager::label as used in gap_detection.R:199.
+
+    Algorithm: Shiloach-Vishkin-style min-hooking over the foreground edge
+    list (right + down neighbor pairs) with pointer-jumping compression —
+    O(E log n) numpy vector ops, no per-pixel Python. The component
+    representative is the min flat index, i.e. the component's first
+    row-major pixel, so renumbering ascending reproduces the exact label
+    order of the sequential two-pass formulation (_label_components_twopass,
+    kept for the parity test).
     """
+    m = np.asarray(mask) != 0
+    h, w = m.shape
+    n = h * w
+    flat = m.ravel()
+    fg = np.nonzero(flat)[0]
+    out = np.zeros(n, dtype=np.int64)
+    if fg.size == 0:
+        return out.reshape(h, w)
+    # foreground-foreground edges: right neighbors (not crossing rows), down
+    idx = np.arange(n).reshape(h, w)
+    rmask = m[:, :-1] & m[:, 1:]
+    dmask = m[:-1, :] & m[1:, :]
+    eu = np.concatenate([idx[:, :-1][rmask], idx[:-1, :][dmask]])
+    ev = np.concatenate([idx[:, 1:][rmask], idx[1:, :][dmask]])
+    parent = np.arange(n, dtype=np.int64)
+    if eu.size:
+        while True:
+            pu = parent[eu]
+            pv = parent[ev]
+            lo = np.minimum(pu, pv)
+            np.minimum.at(parent, pu, lo)
+            np.minimum.at(parent, pv, lo)
+            while True:  # pointer jumping to full compression
+                pp = parent[parent]
+                if np.array_equal(pp, parent):
+                    break
+                parent = pp
+            if np.array_equal(parent[eu], parent[ev]):
+                break
+    reps = parent[fg]
+    uniq = np.unique(reps)  # ascending == row-major first-pixel order
+    lut = np.zeros(n, dtype=np.int64)
+    lut[uniq] = np.arange(1, uniq.size + 1)
+    out[fg] = lut[reps]
+    return out.reshape(h, w)
+
+
+def _label_components_twopass(mask: np.ndarray) -> np.ndarray:
+    """Sequential reference formulation (two-pass union-find); kept as the
+    oracle for the vectorized version's parity test."""
     m = np.asarray(mask) != 0
     h, w = m.shape
     lab = np.zeros((h, w), dtype=np.int64)

@@ -787,6 +787,20 @@ def _gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_gaps(synthetic_tiles(spark, 4, 4))
 
 
+def _detect_with_crowns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection with crown polygons as quantized-digit WKT
+    (tree_detection.R:1067-1084 digit rule; marching-squares tracing in
+    kernels/extraction.crown_wkt) — exercises the full vector-output path
+    through the driver gate."""
+    from pyspark.sql import functions as F
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.operators.tiles import synthetic_tiles
+    det = detect_trees(synthetic_tiles(spark, 3, 3), crown=True)
+    return det.select("image_id", "id", "x", "y", "h",
+                      F.length("crown").alias("crown_wkt_len"),
+                      F.substring("crown", 1, 8).alias("crown_kind"))
+
+
 def _gap_detect_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide gap detection with exact cross-tile label merge (halo
     labeling + min-label propagation; SURVEY.md §7 hard part, validated
@@ -1016,6 +1030,7 @@ _NO_ORACLE = {
     "tree_match_greedy": _match_greedy,
     "tiles_decode_invariants": _decode_invariants,
     "tree_detect_halo": _halo_detect,
+    "tree_detect_crowns": _detect_with_crowns,
     "gap_detection": _gap_detect,
     "gap_detection_global": _gap_detect_global,
     "coregistration": _coregistration,

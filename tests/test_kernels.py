@@ -324,3 +324,50 @@ def test_watershed_packed_equals_tuple_formulation():
         fast = watershed(seeds, f["non_linear_image"])
         ref = _watershed_tuple(seeds, f["non_linear_image"])
         assert (fast == ref).all()
+
+
+def test_binary_disk_morphology_matches_grey():
+    """Chord-decomposed binary dilate/erode/closing == thresholded grey
+    rank filters with the same disk, including clipped-window borders."""
+    import numpy as np
+    from lidartree_spark.kernels.morphology import (
+        binary_closing_disk,
+        binary_dilate_disk,
+        binary_erode_disk,
+        create_disk,
+        grey_closing,
+        grey_dilate,
+        grey_erode,
+    )
+    rng = np.random.default_rng(17)
+    for width in (3, 5, 9, 15, 21):
+        for density in (0.05, 0.5, 0.95):
+            a = (rng.random((40, 56)) < density).astype(np.float64)
+            se = create_disk(width)
+            assert (binary_dilate_disk(a, width)
+                    == (grey_dilate(a, se) > 0)).all()
+            assert (binary_erode_disk(a, width)
+                    == (grey_erode(a, se) > 0)).all()
+            assert (binary_closing_disk(a, width)
+                    == (grey_closing(a, se) > 0)).all()
+
+
+def test_label_components_vectorized_equals_twopass():
+    """Vectorized CCL == sequential two-pass union-find, including label
+    NUMBERING (row-major first-pixel order), on random densities and a
+    spiral (worst case for naive propagation)."""
+    import numpy as np
+    from lidartree_spark.kernels.segmentation import (
+        _label_components_twopass,
+        label_components,
+    )
+    rng = np.random.default_rng(23)
+    for density in (0.05, 0.4, 0.6, 0.95):
+        for _ in range(5):
+            m = rng.random((48, 64)) < density
+            assert (label_components(m)
+                    == _label_components_twopass(m)).all()
+    s = np.zeros((50, 50), bool)
+    s[0, :] = True; s[:, -1] = True; s[-1, :] = True
+    s[2:, 0] = True; s[2, 2:-2] = True
+    assert (label_components(s) == _label_components_twopass(s)).all()
