@@ -134,7 +134,7 @@ def main() -> None:
             # capability estimate; interleaving keeps slow windows from
             # biasing one leg
             for _ in range(int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS",
-                                              "3"))):
+                                              "4"))):
                 trials_n.append(run_tile_pipeline("local[1]", paths,
                                                   SCALING_GRID))
                 trials_4n.append(run_tile_pipeline("local[4]", paths,

@@ -74,3 +74,34 @@ def salted(key: Column, salt_buckets: int) -> Column:
     """Skew-salting helper: deterministic salt from the row content hash.
     Heavy side: groupBy(key, salt) partial agg; light side: explode 0..K-1."""
     return F.pmod(F.hash(key), F.lit(salt_buckets))
+
+
+def salted_join(heavy, light, on: list[str], salt_buckets: int = 16,
+                how: str = "inner", salt_src: str | None = None,
+                shuffle: bool = False):
+    """Skew-salted equi-join (north rule: salted shuffles on
+    (cell_id, tile_id)): the heavy side gets a deterministic salt from a
+    row-content hash, the light side is exploded x salt_buckets, and the
+    join key becomes (on..., salt) — a hot key's rows spread over
+    salt_buckets reducers instead of one. Result set identical to
+    heavy.join(light, on, how): every heavy row carries exactly one salt
+    and the light side covers all salts (equality + oracle-checked in the
+    driver gate as pip_join_salted).
+
+    Use when a key's row count is pathological enough that AQE skew
+    splitting can't save the build side (e.g. a mega-city cell in a
+    detections x references join). salt_src names the heavy column to hash
+    for the salt (defaults to the first join key — spreads rows of the SAME
+    hot key only if salt_src has per-row variety, so pass something like a
+    row id / x-coordinate)."""
+    src = salt_src or on[0]
+    h = heavy.withColumn("_salt", salted(F.col(src), salt_buckets))
+    li = light.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))))
+    if shuffle:
+        # force the shuffled-hash strategy so the (on..., salt) key actually
+        # drives the exchange — otherwise Catalyst broadcasts a small light
+        # side and the salting is a no-op (fine in production, useless for
+        # demonstrating/testing the spread)
+        li = li.hint("shuffle_hash")
+    return h.join(li, on + ["_salt"], how).drop("_salt")

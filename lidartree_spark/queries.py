@@ -666,6 +666,48 @@ FROM ranked WHERE rk <= 5
 """
 
 
+# Skew-salted cell join (north rule: salted shuffles on (cell_id, tile_id)):
+# heavy side = lineitem with a deliberately HOT cell (half the rows land in
+# cell 0), light side = a per-cell dim. The Spark plan runs
+# grid.salted_join (salt from l_orderkey spreads cell 0 over 16 reducers);
+# the oracle is the plain join — identical results prove the physical
+# rewrite is semantics-preserving. Integer-exact aggregates.
+_SALTED_JOIN_ORACLE = """
+WITH heavy AS (
+  SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0
+              ELSE l_suppkey % 50 END AS cell,
+         l_orderkey, l_quantity
+  FROM lineitem
+), dim AS (
+  SELECT s_suppkey % 50 AS cell, MAX(s_nationkey) AS factor
+  FROM supplier GROUP BY s_suppkey % 50
+)
+SELECT h.cell, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(h.l_quantity * d.factor) AS DOUBLE) AS weighted
+FROM heavy h JOIN dim d ON h.cell = d.cell
+GROUP BY h.cell
+"""
+
+
+def _salted_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    from lidartree_spark.operators.grid import salted_join
+    load_views(spark, sf_dir)
+    heavy = spark.sql(
+        "SELECT CASE WHEN l_orderkey % 10 < 5 THEN 0 "
+        "ELSE l_suppkey % 50 END AS cell, l_orderkey, l_quantity "
+        "FROM lineitem")
+    dim = spark.sql(
+        "SELECT s_suppkey % 50 AS cell, MAX(s_nationkey) AS factor "
+        "FROM supplier GROUP BY s_suppkey % 50")
+    joined = salted_join(heavy, dim, ["cell"], salt_buckets=16,
+                         salt_src="l_orderkey", shuffle=True)
+    return joined.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.col("l_quantity") * F.col("factor"))
+        .cast("double").alias("weighted"))
+
+
 # Embedding-cosine near-dup: corpus = originals UNION mildly perturbed
 # copies (v'[i] = v[i] + v[(i mod 64) + 1] div 10 over the QUANTIZED
 # integers — quantize-then-perturb keeps everything integer-exact; a
@@ -865,6 +907,7 @@ _DIALECT = {
                       _jaccard_sql(_SHINGLES_DUCK)),
     "simhash": (_SIMHASH_SPARK, _SIMHASH_DUCK),
     "embedding_neardup": (_NEARDUP_SPARK, _NEARDUP_DUCK),
+    "cell_join_salted": (_salted_join_spark, _SALTED_JOIN_ORACLE),
 }
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

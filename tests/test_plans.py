@@ -75,3 +75,34 @@ def test_tile_prune_pushdown(spark):
     plan = _plan(queries()["tile_prune_roi"](spark, SF))
     assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(o_orderkey",
                      plan)
+
+
+def test_salted_join_exact_and_spreads_key(spark):
+    """salted_join == plain join row-for-row, and the physical plan shuffles
+    on the salted composite key (hot rows spread over salt_buckets
+    reducers)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from lidartree_spark.operators.grid import salted_join
+
+    heavy = spark.createDataFrame(pd.DataFrame({
+        "cell": [0] * 500 + [i % 7 for i in range(100)],
+        "rid": range(600),
+        "qty": [i % 13 for i in range(600)],
+    }))
+    dim = spark.createDataFrame(pd.DataFrame({
+        "cell": list(range(7)),
+        "factor": [10 * i for i in range(7)],
+    }))
+    plain = heavy.join(dim, "cell").groupBy("cell").agg(
+        F.count("*").alias("n"), F.sum(F.col("qty") * F.col("factor"))
+        .alias("w"))
+    salted = salted_join(heavy, dim, ["cell"], salt_buckets=8,
+                         salt_src="rid", shuffle=True)
+    agg = salted.groupBy("cell").agg(
+        F.count("*").alias("n"), F.sum(F.col("qty") * F.col("factor"))
+        .alias("w"))
+    assert sorted(map(tuple, plain.collect())) == \
+        sorted(map(tuple, agg.collect()))
+    plan = _plan(salted)
+    assert "_salt" in plan and "ShuffledHashJoin" in plan
