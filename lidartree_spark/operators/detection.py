@@ -120,6 +120,52 @@ def segment_layers(tiles: DataFrame, params: dict | None = None) -> DataFrame:
         run, schema=LAYERS_SCHEMA)
 
 
+def tree_detection_catalog(tiles: DataFrame, roi_wkt: str | None = None,
+                           params: dict | None = None,
+                           halo_px: int = 16) -> DataFrame:
+    """The reference's top-level entry point, catalog branch
+    (tree_detection.R:94-127 + :160-206), composed end-to-end:
+
+    1. tile pruning against the ROI's bbox — Catalyst range predicates,
+       the distributed st_filter (:103-111);
+    2. buffered decomposition — halo strip exchange (chunk buffer,
+       :114-115);
+    3. per-tile segmentation + extraction with in-UDF crop-to-core dedup
+       (:160-165, inside detect_trees);
+    4. exact ROI clip — broadcast polygon ring + vectorized ray-casting
+       point-in-polygon (st_intersection, :195-199).
+
+    roi_wkt: a `POLYGON ((x y, ...))` string; None processes the whole
+    corpus (steps 1 and 4 drop out of the plan entirely — no dead
+    predicates left behind for Catalyst to carry)."""
+    from lidartree_spark.kernels.geometry import parse_wkt_polygon
+    from lidartree_spark.operators.halo import with_halo
+
+    ring = None
+    if roi_wkt is not None:
+        ring = parse_wkt_polygon(roi_wkt)
+        bbox = (float(ring[:, 0].min()), float(ring[:, 1].min()),
+                float(ring[:, 0].max()), float(ring[:, 1].max()))
+        tiles = prune_tiles_to_roi(tiles, bbox)
+    det = detect_trees(with_halo(tiles, halo_px), params)
+    if ring is None:
+        return det
+    bc = tiles.sparkSession.sparkContext.broadcast(ring)
+
+    def clip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from lidartree_spark.kernels.geometry import points_in_polygon
+        r = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf
+                continue
+            inside = points_in_polygon(pdf["x"].to_numpy(),
+                                       pdf["y"].to_numpy(), r)
+            yield pdf[inside]
+
+    return det.mapInPandas(clip, schema=det.schema)
+
+
 def prune_tiles_to_roi(tiles: DataFrame, roi_bbox: tuple) -> DataFrame:
     """Partition pruning: keep tiles whose bbox intersects the ROI bbox —
     a pure Catalyst range predicate on derived columns (the reference's

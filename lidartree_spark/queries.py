@@ -829,6 +829,16 @@ def _gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_gaps(synthetic_tiles(spark, 4, 4))
 
 
+def _detect_catalog_roi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed reference entry point (tree_detection catalog branch,
+    tree_detection.R:94-206): ROI bbox pruning -> halo exchange -> per-tile
+    segmentation/extraction with core-crop dedup -> exact polygon clip."""
+    from lidartree_spark.operators.detection import tree_detection_catalog
+    from lidartree_spark.operators.tiles import synthetic_tiles
+    roi = "POLYGON ((64 10, 118 64, 64 118, 10 64, 64 10))"
+    return tree_detection_catalog(synthetic_tiles(spark, 4, 4), roi)
+
+
 def _detect_with_crowns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detection with crown polygons as quantized-digit WKT
     (tree_detection.R:1067-1084 digit rule; marching-squares tracing in
@@ -1074,6 +1084,7 @@ _NO_ORACLE = {
     "tiles_decode_invariants": _decode_invariants,
     "tree_detect_halo": _halo_detect,
     "tree_detect_crowns": _detect_with_crowns,
+    "tree_detection_catalog_roi": _detect_catalog_roi,
     "gap_detection": _gap_detect,
     "gap_detection_global": _gap_detect_global,
     "coregistration": _coregistration,

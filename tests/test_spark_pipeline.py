@@ -164,3 +164,41 @@ def test_detect_and_match_equals_shuffle_path(spark):
     for k in fused:
         assert fused[k][0] == pytest.approx(shuffled[k][0])
         assert fused[k][1] == pytest.approx(shuffled[k][1])
+
+
+def test_tree_detection_catalog_roi(spark):
+    """Composed catalog entry point == manual prune+halo+detect then exact
+    PIP clip; ROI=None returns the plain halo detection."""
+    import numpy as np
+    from lidartree_spark.kernels.geometry import (
+        parse_wkt_polygon,
+        points_in_polygon,
+    )
+    from lidartree_spark.operators.detection import (
+        detect_trees,
+        tree_detection_catalog,
+    )
+    from lidartree_spark.operators.halo import with_halo
+    from lidartree_spark.operators.tiles import synthetic_tiles
+
+    tiles = synthetic_tiles(spark, 4, 4)
+    # diamond ROI covering the center of the 128 m x 128 m mosaic
+    roi = "POLYGON ((64 10, 118 64, 64 118, 10 64, 64 10))"
+    got = tree_detection_catalog(tiles, roi).collect()
+
+    ring = parse_wkt_polygon(roi)
+    manual = [r for r in detect_trees(with_halo(tiles, 16)).collect()
+              if points_in_polygon(np.array([r.x]), np.array([r.y]),
+                                   ring)[0]]
+    assert {(r.image_id, r.id) for r in got} == \
+        {(r.image_id, r.id) for r in manual}
+    assert len(got) > 0
+    # every reported apex is inside the ROI
+    for r in got:
+        assert points_in_polygon(np.array([r.x]), np.array([r.y]), ring)[0]
+
+    no_roi = tree_detection_catalog(tiles, None).collect()
+    base = detect_trees(with_halo(tiles, 16)).collect()
+    assert {(r.image_id, r.id) for r in no_roi} == \
+        {(r.image_id, r.id) for r in base}
+    assert len(no_roi) > len(got)
