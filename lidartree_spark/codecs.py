@@ -42,6 +42,8 @@ def encode_tile(arr: np.ndarray, fmt: str) -> bytes:
         q[np.isnan(a)] = 0xFFFF
         payload = zlib.compress(q.tobytes(order="C"), level=6)
         return _MAGIC + struct.pack("<HH", h, w) + payload
+    if fmt == "png":
+        return encode_png_gray16(a)
     if fmt == "q8":
         # lossy: linear 8-bit quantization of the tile's [lo, hi] range.
         finite = a[np.isfinite(a)]
@@ -69,6 +71,8 @@ def decode_tile(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         out = q.astype(np.float32) / 256.0
         out[q == 0xFFFF] = np.nan
         return out
+    if fmt == "png":
+        return decode_png_gray16(buf)
     if fmt == "q8":
         if buf[:4] != _MAGIC:
             raise ValueError("bad q8 header")
@@ -78,6 +82,108 @@ def decode_tile(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         out[q == 255] = np.nan
         return out
     raise ValueError(f"unknown tile format: {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# Real PNG (ISO/IEC 15948) 16-bit grayscale codec — spec-compliant files
+# decodable by any PNG reader, implemented with stdlib zlib only (no PIL in
+# this environment; SURVEY.md environment facts). Height values use the same
+# 1/256 fixed-point grid as the png16 tile format; NaN -> 0xFFFF sentinel.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def encode_png_gray16(arr: np.ndarray) -> bytes:
+    """Encode (h, w) float array as a real 16-bit grayscale PNG (filter 0
+    scanlines). Values quantized to 1/256 units; NaN -> 0xFFFF."""
+    a = np.asarray(arr, dtype=np.float32)
+    h, w = a.shape
+    q = np.round(np.nan_to_num(a, nan=0.0) * 256.0)
+    q = np.clip(q, 0, 0xFFFE).astype(np.uint16)
+    q[np.isnan(a)] = 0xFFFF
+    raw = q.astype(">u2").tobytes()  # PNG is big-endian
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w * 2)
+    scan = np.concatenate(
+        [np.zeros((h, 1), dtype=np.uint8), rows], axis=1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)  # 16-bit gray
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(scan, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(scan: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filters 0-4 (spec §9); returns (h, stride) bytes."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        ftype = int(scan[y, 0])
+        cur = scan[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(
+            stride, dtype=np.int32)
+        if ftype == 0:
+            rec = cur
+        elif ftype == 2:  # Up
+            rec = (cur + prev) & 0xFF
+        else:  # Sub / Average / Paeth need left-to-right recurrence
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    rec[x] = (cur[x] + left) & 0xFF
+                elif ftype == 3:
+                    rec[x] = (cur[x] + (left + up) // 2) & 0xFF
+                elif ftype == 4:
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else \
+                        (up if pb <= pc else ul)
+                    rec[x] = (cur[x] + pred) & 0xFF
+                else:
+                    raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = rec.astype(np.uint8)
+    return out
+
+
+def decode_png_gray16(buf: bytes) -> np.ndarray:
+    """Decode a 16-bit grayscale PNG (filters 0-4, non-interlaced) back to
+    (h, w) float32 with the 1/256 grid and 0xFFFF -> NaN."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    w = h = None
+    idat = b""
+    while pos < len(buf):
+        (length,) = struct.unpack_from(">I", buf, pos)
+        tag = buf[pos + 4:pos + 8]
+        payload = buf[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", buf, pos + 8 + length)
+        if crc != (zlib.crc32(tag + payload) & 0xFFFFFFFF):
+            raise ValueError(f"PNG chunk CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload)
+            if (depth, color, comp, filt, interlace) != (16, 0, 0, 0, 0):
+                raise ValueError("only 16-bit gray non-interlaced supported")
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    stride = w * 2
+    scan = np.frombuffer(zlib.decompress(idat), dtype=np.uint8) \
+        .reshape(h, stride + 1)
+    rows = _png_unfilter(scan, h, stride, bpp=2)
+    q = rows.reshape(h, w, 2)
+    vals = (q[:, :, 0].astype(np.uint16) << 8) | q[:, :, 1]
+    out = vals.astype(np.float32) / 256.0
+    out[vals == 0xFFFF] = np.nan
+    return out
 
 
 def psnr(ref: np.ndarray, test: np.ndarray) -> float:

@@ -1,14 +1,15 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, partitioning, Arrow batch shapes, UDF
-signatures) is real and tested; the format decoders that would need
-PIL/ffmpeg (absent in this environment) are STUBBED:
+signatures) is real and tested. Format decoders:
 
-- fmt == "raw_f32"            -> real decode (shared tile codec)
-- fmt in {"jpeg","png","mp4","wav"} -> `FakeDecoder`, a clearly-marked
-  deterministic stand-in seeded by media_id (same shape/dtype contract a
-  real decoder would satisfy). `decode_media(..., strict=True)` raises
-  NotImplementedError for these formats instead.
+- fmt == "raw_f32" -> real decode (shared tile codec)
+- fmt == "png"     -> REAL ISO 15948 16-bit-gray PNG (codecs.decode_png_gray16)
+- fmt == "wav"     -> REAL RIFF/WAVE PCM16 parsing (decode_wav_pcm16 below)
+- fmt in {"jpeg","mp4"} -> `FakeDecoder`, a clearly-marked deterministic
+  stand-in seeded by media_id (these need libjpeg/ffmpeg, absent in this
+  environment; same shape/dtype contract a real decoder would satisfy).
+  `decode_*(..., strict=True)` raises NotImplementedError instead.
 
 Downstream ops (resize, feature extraction, frame sampling, RMS energy) are
 REAL numpy implementations over whatever the decode stage yields.
@@ -17,6 +18,7 @@ REAL numpy implementations over whatever the decode stage yields.
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -27,7 +29,43 @@ MEDIA_SCHEMA = ("media_id string, kind string, bytes binary, fmt string, "
                 "width int, height int, channels int, sample_rate int, "
                 "n_frames int")
 
-STUB_FORMATS = {"jpeg", "png", "mp4", "wav"}
+STUB_FORMATS = {"jpeg", "mp4"}
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Real RIFF/WAVE, PCM16 mono: float [-1, 1] -> standard .wav bytes."""
+    pcm = np.clip(np.asarray(samples, np.float64), -1.0, 1.0)
+    data = (pcm * 32767.0).round().astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(buf: bytes):
+    """Parse RIFF/WAVE PCM16 mono -> (float32 samples in [-1, 1], rate)."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    rate = None
+    data = None
+    while pos + 8 <= len(buf):
+        tag = buf[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", buf, pos + 4)
+        payload = buf[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload)
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif tag == b"data":
+            data = payload
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32767.0
+    return samples, rate
 
 
 class FakeDecoder:
@@ -59,6 +97,9 @@ def decode_image_array(rec, strict: bool = False) -> np.ndarray:
     if rec.fmt == "raw_f32":
         from lidartree_spark.codecs import decode_tile
         return decode_tile(rec.bytes, "raw_f32", rec.width, rec.height)[..., None]
+    if rec.fmt == "png":
+        from lidartree_spark.codecs import decode_png_gray16
+        return decode_png_gray16(rec.bytes)[..., None]
     if rec.fmt in STUB_FORMATS:
         if strict:
             raise NotImplementedError(
@@ -125,7 +166,9 @@ def audio_frame_energy(media: DataFrame, frame: int = 1024,
         for pdf in batches:
             out = []
             for rec in pdf.itertuples(index=False):
-                if rec.fmt in STUB_FORMATS:
+                if rec.fmt == "wav":
+                    samples, _ = decode_wav_pcm16(rec.bytes)
+                elif rec.fmt in STUB_FORMATS:
                     samples = FakeDecoder.audio(rec.media_id,
                                                 rec.sample_rate,
                                                 rec.n_frames)
@@ -167,21 +210,34 @@ def video_frame_sample(media: DataFrame, every: int = 4,
 
 
 def synthetic_media(spark, n: int = 24) -> DataFrame:
-    """Small deterministic media table exercising all three kinds."""
+    """Small deterministic media table exercising all three kinds. Images
+    alternate stubbed jpeg and REAL PNG payloads; audio carries REAL
+    RIFF/WAVE PCM16 bytes; video stays a metadata-only mp4 stub."""
+    from lidartree_spark.codecs import encode_png_gray16
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         mid = f"m{i:04d}"
         if kind == "image":
-            rows.append({"media_id": mid, "kind": kind, "bytes": b"",
-                         "fmt": "jpeg", "width": 32 + 8 * (i % 3),
-                         "height": 24 + 8 * (i % 2), "channels": 3,
-                         "sample_rate": 0, "n_frames": 0})
+            w, h = 32 + 8 * (i % 3), 24 + 8 * (i % 2)
+            if i % 2 == 0:
+                img = FakeDecoder.image(mid, w, h, 1)[:, :, 0]
+                rows.append({"media_id": mid, "kind": kind,
+                             "bytes": encode_png_gray16(img), "fmt": "png",
+                             "width": w, "height": h, "channels": 1,
+                             "sample_rate": 0, "n_frames": 0})
+            else:
+                rows.append({"media_id": mid, "kind": kind, "bytes": b"",
+                             "fmt": "jpeg", "width": w, "height": h,
+                             "channels": 3, "sample_rate": 0, "n_frames": 0})
         elif kind == "audio":
-            rows.append({"media_id": mid, "kind": kind, "bytes": b"",
+            nf = 4096 + 512 * (i % 4)
+            samples = FakeDecoder.audio(mid, 16000, nf)
+            rows.append({"media_id": mid, "kind": kind,
+                         "bytes": encode_wav_pcm16(samples, 16000),
                          "fmt": "wav", "width": 0, "height": 0,
                          "channels": 1, "sample_rate": 16000,
-                         "n_frames": 4096 + 512 * (i % 4)})
+                         "n_frames": nf})
         else:
             rows.append({"media_id": mid, "kind": kind, "bytes": b"",
                          "fmt": "mp4", "width": 16, "height": 12,

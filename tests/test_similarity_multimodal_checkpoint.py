@@ -185,3 +185,75 @@ def test_checkpoint_resume(spark, tmp_path):
     os.remove(p._manifest_path("b"))
     s4 = p.run(stages2)
     assert s4 == {"a": "skipped", "b": "computed"}
+
+
+def test_real_png_codec_roundtrip_and_filters():
+    """Spec-compliant PNG: signature/CRC valid, lossless round trip on the
+    1/256 grid with NaN sentinel, and decode of a crafted file using every
+    scanline filter type (0-4)."""
+    import struct
+    import zlib
+
+    from lidartree_spark.codecs import decode_png_gray16, encode_png_gray16
+
+    rng = np.random.default_rng(31)
+    a = np.round(rng.uniform(0, 40, (32, 48)) * 256).astype(np.float32) / 256
+    a[3, 5] = np.nan
+    buf = encode_png_gray16(a)
+    assert buf[:8] == b"\x89PNG\r\n\x1a\n"
+    out = decode_png_gray16(buf)
+    m = ~np.isnan(a)
+    assert np.array_equal(out[m], a[m]) and np.isnan(out[3, 5])
+
+    h, w, bpp = 5, 4, 2
+    vals = (np.arange(h * w, dtype=np.uint16).reshape(h, w) * 997) % 0xFFFE
+    rows = np.frombuffer(vals.astype(">u2").tobytes(),
+                         np.uint8).reshape(h, w * 2).astype(np.int32)
+    filtered = np.zeros((h, w * 2 + 1), np.uint8)
+    prev = np.zeros(w * 2, np.int32)
+    for y in range(h):
+        ftype, cur = y % 5, rows[y]
+        f = np.empty(w * 2, np.int32)
+        for x in range(w * 2):
+            left = cur[x - bpp] if x >= bpp else 0
+            up, ul = prev[x], (prev[x - bpp] if x >= bpp else 0)
+            if ftype == 0:
+                f[x] = cur[x]
+            elif ftype == 1:
+                f[x] = cur[x] - left
+            elif ftype == 2:
+                f[x] = cur[x] - up
+            elif ftype == 3:
+                f[x] = cur[x] - (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else \
+                    (up if pb <= pc else ul)
+                f[x] = cur[x] - pred
+        filtered[y] = np.concatenate([[ftype], f & 0xFF])
+        prev = cur
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(filtered.tobytes()))
+           + chunk(b"IEND", b""))
+    assert np.allclose(decode_png_gray16(png), vals.astype(np.float32) / 256)
+
+
+def test_real_wav_codec_roundtrip():
+    from lidartree_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+    rng = np.random.default_rng(37)
+    samples = rng.uniform(-1, 1, 4096).astype(np.float32)
+    buf = encode_wav_pcm16(samples, 16000)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"WAVE"
+    out, rate = decode_wav_pcm16(buf)
+    assert rate == 16000
+    assert np.allclose(out, samples, atol=1.0 / 32767 + 1e-6)
