@@ -401,6 +401,39 @@ def aba_build_model(pdf, variable: str, predictors: list[str],
 # --------------------------------------------------------------------------
 # prediction: pure Catalyst column expressions (aba.R:730-820)
 
+def aba_combine_strata(models: dict[str, AbaModel]) -> dict:
+    """Merge per-stratum models into one summary (aba_combine_strata,
+    /root/reference/R/aba.R:554-611): per-stratum stats rows plus a
+    COMBINED row with pooled rmse = sqrt(mean(residual^2)), cvrmse =
+    rmse/mean(field), Wilcoxon/t p-values of the pooled residuals,
+    cor(field, predicted), and pooled looR2 = 1 - SSres/SStot (:572-596).
+    Also returns the concatenated values table with a stratum column."""
+    rows = {}
+    field, pred, resid, strat = [], [], [], []
+    for name, m in models.items():
+        rows[name] = dict(m.stats)
+        field.extend(m.values["field"])
+        pred.extend(m.values["predicted"])
+        resid.extend(m.values["residual"])
+        strat.extend([name] * len(m.values["field"]))
+    f = np.asarray(field, float)
+    p = np.asarray(pred, float)
+    r = np.asarray(resid, float)
+    rmse = float(np.sqrt(np.mean(r * r)))
+    rows["COMBINED"] = {
+        "n": int(len(f)),
+        "rmse": rmse,
+        "cvrmse": rmse / float(np.mean(f)),
+        "pwil": wilcoxon_pvalue(p, f),
+        "pttest": paired_t_pvalue(p, f),
+        "cor": float(np.corrcoef(f, p)[0, 1]),
+        "looR2": 1.0 - float((r * r).sum() / ((f - f.mean()) ** 2).sum()),
+    }
+    return {"models": models, "stats": rows,
+            "values": {"field": f.tolist(), "predicted": p.tolist(),
+                       "residual": r.tolist(), "stratum": strat}}
+
+
 def aba_predict_expr(model: AbaModel) -> Column:
     """Prediction column for a metrics DataFrame, with the model's transform
     and bias-corrected back-transform."""

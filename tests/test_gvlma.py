@@ -81,3 +81,35 @@ def test_aba_build_model_with_gvlma_gate():
     assert model is not None
     assert set(model.predictors) == {"zmax", "zmean"}
     assert model.adjR2 > 0.9
+
+
+def test_aba_combine_strata():
+    """Combined stats row: pooled rmse/cvrmse/looR2 over both strata's
+    LOOCV values, per-stratum rows preserved (aba.R:554-611)."""
+    import pandas as pd
+    from lidartree_spark.operators.aba import aba_combine_strata
+
+    rng = np.random.default_rng(11)
+    models = {}
+    for stratum, slope in (("public", 1.2), ("private", 0.8)):
+        n = 60
+        zmax = rng.uniform(15, 40, n)
+        g = 3.0 + slope * zmax + rng.normal(0, 1.0, n)
+        pdf = pd.DataFrame({"G": g, "zmax": zmax})
+        m = aba_build_model(pdf, "G", ["zmax"])
+        assert m is not None
+        models[stratum] = m
+
+    combined = aba_combine_strata(models)
+    st = combined["stats"]
+    assert set(st) == {"public", "private", "COMBINED"}
+    n_tot = st["public"]["n"] + st["private"]["n"]
+    assert st["COMBINED"]["n"] == n_tot
+    resid = np.asarray(combined["values"]["residual"])
+    field = np.asarray(combined["values"]["field"])
+    assert st["COMBINED"]["rmse"] == pytest.approx(
+        float(np.sqrt(np.mean(resid ** 2))))
+    assert st["COMBINED"]["looR2"] == pytest.approx(
+        1 - float((resid ** 2).sum() / ((field - field.mean()) ** 2).sum()))
+    assert 0.9 < st["COMBINED"]["looR2"] <= 1.0
+    assert len(combined["values"]["stratum"]) == n_tot
