@@ -176,6 +176,33 @@ def normalize_tiles(dsm: DataFrame, dtm: DataFrame) -> DataFrame:
                      "fmt string, caption string, phash long"))
 
 
+def raster_metrics_apply(points: DataFrame, fn, out_schema: str,
+                         res: float = 50.0, start: float = 0.0,
+                         x_col: str = "x", y_col: str = "y") -> DataFrame:
+    """raster_metrics with an ARBITRARY user function (raster_metrics.R:
+    55-112 `fun` argument): snap rows to the coarser grid with the
+    reference's formula (:83-84), then applyInPandas per grid cell. The
+    common aggregates should use the pure-SQL path (queries
+    raster_metrics_regrid) — this is the escape hatch for user-defined
+    per-cell logic, the `split + fun per group` branch (:86).
+
+    fn(key, pdf) -> pd.DataFrame gets the group's rows plus gx/gy columns;
+    out_schema must include gx/gy if the caller wants them back."""
+    from lidartree_spark.operators.grid import snap_to_grid
+    snapped = (points
+               .withColumn("gx", snap_to_grid(F.col(x_col), start, res))
+               .withColumn("gy", snap_to_grid(F.col(y_col), start, res)))
+    return snapped.groupBy("gx", "gy").applyInPandas(fn, schema=out_schema)
+
+
+def clouds_metrics(points: DataFrame, fn, out_schema: str,
+                   cloud_col: str = "cloud_id") -> DataFrame:
+    """Apply a metrics function to each point cloud in a collection
+    (clouds_metrics, /root/reference/R/metrics.R:52-78): one output row per
+    cloud. fn(key, pdf) -> pd.DataFrame."""
+    return points.groupBy(cloud_col).applyInPandas(fn, schema=out_schema)
+
+
 def std_tree_metrics_df(trees: DataFrame, area_ha: float,
                         key: str = "image_id") -> DataFrame:
     """Tree metrics per plot (metrics.R:200-214): mean/sd/gini of apex

@@ -86,3 +86,27 @@ def test_connected_components_chain_and_clusters(spark, driver_threshold):
         pairs, driver_threshold=driver_threshold).collect()}
     assert {comp[f"n{i}"] for i in range(1, 6)} == {"n1"}
     assert {comp[f"x{i}"] for i in range(1, 4)} == {"x1"}
+
+
+def test_global_gaps_match_mosaic_with_reconstruct(spark):
+    """gap_reconstruct extends gaps into connected low pixels
+    (gap_detection.R:184-196); with halo >= the reconstruction reach the
+    per-tile + merge result still equals the mosaic run."""
+    params = dict(PARAMS, gap_reconstruct=True)
+    mosaic = _mosaic()
+    # a low (0.8 m < gap_max_height) apron around the block gap: dropped by
+    # the closing ladder but reconnected by gap_reconstruct
+    mosaic[6:10, 20:32] = 0.8
+    out = detect_gaps_global(_tiles_df(spark, mosaic), params,
+                             halo_px=16).collect()
+    oracle = gap_detection(mosaic, res=RES, ratio=params["ratio"],
+                           gap_max_height=params["gap_max_height"],
+                           min_gap_surface=params["min_gap_surface"],
+                           nl_filter=params["nl_filter"],
+                           nl_size=params["nl_size"],
+                           max_height=params["max_height"],
+                           gap_reconstruct=True)
+    lab = oracle["gap_id"].astype(np.int64)
+    ids, counts = np.unique(lab[lab > 0], return_counts=True)
+    assert sorted(r.surface for r in out) == pytest.approx(
+        sorted((counts * RES * RES).tolist()))

@@ -71,3 +71,63 @@ def test_clouds_tree_metrics(spark):
     for r in out:
         assert 5.0 < r.tree_meanh < 40.0
         assert 0.0 <= r.tree_ginih < 1.0
+
+
+def test_raster_metrics_apply_arbitrary_fun(spark):
+    """User-function re-gridding (raster_metrics.R:86): per-cell trimmed
+    mean — not expressible as a built-in agg — must match a pandas oracle
+    using the same snap formula."""
+    rng = np.random.default_rng(44)
+    pdf_in = pd.DataFrame({
+        "x": rng.uniform(0, 200, 800),
+        "y": rng.uniform(0, 200, 800),
+        "z": rng.uniform(0, 30, 800),
+    })
+    from lidartree_spark.operators.rasterize import raster_metrics_apply
+
+    def trimmed(key, pdf):
+        z = np.sort(pdf["z"].to_numpy())
+        k = max(1, int(len(z) * 0.1))
+        core = z[k:-k] if len(z) > 2 * k else z
+        return pd.DataFrame([{"gx": float(key[0]), "gy": float(key[1]),
+                              "tmean": float(core.mean()),
+                              "n": len(z)}])
+
+    got = {(r.gx, r.gy): (r.tmean, r.n)
+           for r in raster_metrics_apply(
+               spark.createDataFrame(pdf_in), trimmed,
+               "gx double, gy double, tmean double, n long",
+               res=50.0).collect()}
+
+    res, start = 50.0, 0.0
+    snap = lambda v: np.round((v - start - res / 2) / res) * res + start + res / 2
+    pdf_in["gx"] = snap(pdf_in.x)
+    pdf_in["gy"] = snap(pdf_in.y)
+    for (gx, gy), grp in pdf_in.groupby(["gx", "gy"]):
+        z = np.sort(grp.z.to_numpy())
+        k = max(1, int(len(z) * 0.1))
+        core = z[k:-k] if len(z) > 2 * k else z
+        assert got[(gx, gy)][1] == len(z)
+        assert got[(gx, gy)][0] == pytest.approx(core.mean())
+
+
+def test_clouds_metrics_generic(spark):
+    from lidartree_spark.operators.rasterize import clouds_metrics
+    pdf_in = pd.DataFrame({
+        "cloud_id": [i % 4 for i in range(200)],
+        "z": [float(i % 37) for i in range(200)],
+    })
+
+    def metrics(key, pdf):
+        z = pdf["z"].to_numpy()
+        return pd.DataFrame([{"cloud_id": int(key[0]),
+                              "zmax": float(z.max()),
+                              "zmean": float(z.mean())}])
+
+    out = {r.cloud_id: (r.zmax, r.zmean)
+           for r in clouds_metrics(spark.createDataFrame(pdf_in), metrics,
+                                   "cloud_id long, zmax double, zmean double"
+                                   ).collect()}
+    for cid, grp in pdf_in.groupby("cloud_id"):
+        assert out[cid][0] == grp.z.max()
+        assert out[cid][1] == pytest.approx(grp.z.mean())
