@@ -666,6 +666,42 @@ FROM ranked WHERE rk <= 5
 """
 
 
+# SimHash near-dup pairing: Hamming-band LSH over the 32-bit simhash —
+# candidates come from an equi-join on (band, byte value), then the exact
+# bit_count(xor) filter runs only on candidates. Pigeonhole over 4 bands
+# guarantees COMPLETE recall for Hamming distance <= 3 (some band must
+# match exactly); the <= 8 report threshold beyond that is the standard
+# LSH recall tradeoff — both engines run the SAME banding, so the oracle
+# check pins the semantics either way. At corpus scale this is the
+# standard simhash dedup join: one shuffle on the band key instead of an
+# O(n^2) cross. Integer-exact end-to-end.
+def _simhash_neardup(simhash_sql: str, bitcount: str) -> str:
+    return f"""
+WITH sh AS ({simhash_sql}),
+bands AS (
+  SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS band_val
+  FROM sh
+  CROSS JOIN (SELECT 0 AS b UNION ALL SELECT 1 UNION ALL
+              SELECT 2 UNION ALL SELECT 3) bs
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         a.simhash AS ha, c.simhash AS hb
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.band_val = c.band_val AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST({bitcount} AS BIGINT) AS hamming
+FROM cand
+WHERE {bitcount} <= 8
+"""
+
+
+_SIMHASH_ND_SPARK = _simhash_neardup(
+    "%%SIMHASH%%", "bit_count(ha ^ hb)")
+_SIMHASH_ND_DUCK = _simhash_neardup(
+    "%%SIMHASH%%", "bit_count(CAST(xor(ha, hb) AS BIGINT))")
+
+
 # Skew-salted cell join (north rule: salted shuffles on (cell_id, tile_id)):
 # heavy side = lineitem with a deliberately HOT cell (half the rows land in
 # cell 0), light side = a per-cell dim. The Spark plan runs
@@ -918,6 +954,9 @@ _DIALECT = {
     "simhash": (_SIMHASH_SPARK, _SIMHASH_DUCK),
     "embedding_neardup": (_NEARDUP_SPARK, _NEARDUP_DUCK),
     "cell_join_salted": (_salted_join_spark, _SALTED_JOIN_ORACLE),
+    "simhash_neardup": (
+        _SIMHASH_ND_SPARK.replace("%%SIMHASH%%", _SIMHASH_SPARK),
+        _SIMHASH_ND_DUCK.replace("%%SIMHASH%%", _SIMHASH_DUCK)),
 }
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
