@@ -51,6 +51,12 @@ def gap_detection(
         i = gap_max_height
         while i <= top + 1e-9:
             binary = (c > i).astype(np.float64)
+            if not binary.any():
+                # (c > i) is monotone decreasing in i: this bin and all
+                # higher ones close all-zero binaries (exact no-ops), so a
+                # ladder pinned to a corpus-wide max_height above the local
+                # canopy max costs nothing extra
+                break
             width = int(np.floor(i / ratio / res / 2.0)) * 2 + 1
             # binary chord-decomposed closing — exact parity with
             # grey_closing(binary, create_disk(width)) on 0/1 input at a

@@ -130,14 +130,25 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
               .withColumn("comp", F.col("node"))
               .persist())
     labels.count()
+    changed = 0
     for _ in range(max_iters):
         neigh = (edges.join(labels.withColumnRenamed("node", "v")
                             .withColumnRenamed("comp", "vcomp"), "v")
                  .groupBy("u").agg(F.min("vcomp").alias("ncomp"))
                  .withColumnRenamed("u", "node"))
-        new = (labels.join(neigh, "node", "left")
+        hop = (labels.join(neigh, "node", "left")
                .select("node",
                        F.least("comp", F.coalesce("ncomp", "comp"))
+                       .alias("comp")))
+        # pointer jumping: comp <- comp(comp) each round (labels joined to
+        # themselves on the representative), so convergence is
+        # O(log diameter) instead of O(diameter) — a 10^6-tile corridor gap
+        # resolves in ~20 rounds, not 10^6
+        new = (hop.join(hop.select(F.col("node").alias("comp"),
+                                   F.col("comp").alias("jcomp")),
+                        "comp", "left")
+               .select("node",
+                       F.least("comp", F.coalesce("jcomp", "comp"))
                        .alias("comp"))
                .localCheckpoint(eager=True))
         changed = (new.alias("n")
@@ -148,6 +159,13 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        import warnings
+        warnings.warn(
+            f"connected_components hit max_iters={max_iters} with "
+            f"{changed} labels still changing — components wider than the "
+            "iteration budget would be split; raise max_iters",
+            RuntimeWarning, stacklevel=2)
     return labels
 
 
@@ -170,7 +188,13 @@ def detect_gaps_global(tiles: DataFrame, params: dict | None = None,
     """
     from lidartree_spark.operators.halo import with_halo
 
-    p = {**GAP_PARAMS, "max_height": 20.0, **(params or {})}
+    # default max_height = 60.0: the reference ladder runs to
+    # min(max(chm), 60) (gap_detection.R:166-169); pinning the corpus-wide
+    # bound at 60 preserves mosaic parity for ANY corpus because bins above
+    # the true canopy max close all-zero binaries — exact no-ops that the
+    # kernel short-circuits (kernels/gaps.py) — whereas a lower pin (e.g.
+    # 20 on a 35 m canopy) silently truncates the ladder
+    p = {**GAP_PARAMS, "max_height": 60.0, **(params or {})}
     min_surf, max_surf = p["min_gap_surface"], p["max_gap_surface"]
     res = p["res"]
     padded = with_halo(tiles, halo_px)

@@ -84,9 +84,12 @@ def salted_join(heavy, light, on: list[str], salt_buckets: int = 16,
     row-content hash, the light side is exploded x salt_buckets, and the
     join key becomes (on..., salt) — a hot key's rows spread over
     salt_buckets reducers instead of one. Result set identical to
-    heavy.join(light, on, how): every heavy row carries exactly one salt
-    and the light side covers all salts (equality + oracle-checked in the
-    driver gate as pip_join_salted).
+    heavy.join(light, on, how) for how in {inner, left, left_semi,
+    left_anti, cross}: every heavy row carries exactly one salt and the
+    light side covers all salts (equality + oracle-checked in the driver
+    gate as cell_join_salted). how in {right, full} is REJECTED — an
+    unmatched light row appears once per salt bucket under this rewrite,
+    so those shapes are not semantics-preserving.
 
     Use when a key's row count is pathological enough that AQE skew
     splitting can't save the build side (e.g. a mega-city cell in a
@@ -94,6 +97,13 @@ def salted_join(heavy, light, on: list[str], salt_buckets: int = 16,
     for the salt (defaults to the first join key — spreads rows of the SAME
     hot key only if salt_src has per-row variety, so pass something like a
     row id / x-coordinate)."""
+    if how.lower().replace("_", "") not in (
+            "inner", "left", "leftouter", "semi", "leftsemi", "anti",
+            "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join does not preserve {how!r} semantics: the light "
+            "side is exploded x salt_buckets, so unmatched light rows would "
+            "be emitted once per bucket; use a plain join for right/full")
     src = salt_src or on[0]
     h = heavy.withColumn("_salt", salted(F.col(src), salt_buckets))
     li = light.withColumn(

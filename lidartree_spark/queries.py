@@ -750,9 +750,29 @@ def _salted_join_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pre-quantization float mix hits ROUND half-boundaries because the source
 # embeddings live on a 1e-4 grid and the engines' ROUND differs there);
 # report pairs with exact cosine >= 0.95 — planted pairs score ~0.995,
-# random pairs < 0.8 on this corpus. Scale path for the same semantics is
-# LSH banding (ann_lsh / minhash_lsh); this is the exact gate.
-_NEARDUP_SPARK = """
+# random pairs cosine ~0 on this corpus.
+#
+# SCALE PATH (not a cartesian): candidates come from sign-random-projection
+# LSH — 64 SRP bits per vector against DETERMINISTIC integer hyperplanes
+# (an LCG over the plane x dim index, identical in both engines, all
+# arithmetic in exact int64), banded 8 bands x 8 bits; candidate pairs are
+# an equi-join on (band, band_value); the exact integer cosine reranks
+# candidates only. One shuffle on the band key instead of O(n^2). A pair
+# at cosine 0.995 flips each SRP bit w.p. acos(.995)/pi ~ 0.032, so the
+# probability of missing all 8 bands is ~(1-(1-.032)^8)^8 ~ 7e-6; random
+# pairs (cosine ~ 0) match a band w.p. ~0.5^8. Both engines run the SAME
+# banding so the DuckDB oracle pins the full pipeline; the parity of this
+# LSH+rerank result with the old brute-force gate on this corpus is
+# asserted in tests (test_queries_gate.py).
+_NEARDUP_PLANES = (
+    "(CAST(1103515245 AS BIGINT) * (p * 64 + {j} + 7) + 12345) "
+    "% 2147483648 - 1073741824")
+
+
+def _neardup_sql(dialect: str) -> str:
+    """Shared SRP-LSH + rerank skeleton; dialect in {'spark', 'duck'}."""
+    if dialect == "spark":
+        quant = """
 WITH orig AS (
   SELECT vec_id AS id,
          transform(sequence(1, 64),
@@ -768,22 +788,28 @@ WITH orig AS (
   FROM orig
 ), corpus AS (
   SELECT * FROM orig UNION ALL SELECT * FROM pert
-), scored AS (
-  SELECT a.id AS doc_a, b.id AS doc_b,
-         aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0L,
+)"""
+        w = _NEARDUP_PLANES.format(j="i")
+        bits_body = f"""
+  SELECT id, p,
+         CASE WHEN aggregate(
+                zip_with(v,
+                         transform(sequence(0, 63), i -> {w}),
+                         (x, w) -> x * w),
+                0L, (acc, t) -> acc + t) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM corpus LATERAL VIEW explode(sequence(0, 63)) pt AS p"""
+        rerank = """
+  SELECT cd.doc_a, cd.doc_b,
+         aggregate(zip_with(x.v, y.v, (a, b) -> a * b), 0L,
                    (acc, t) -> acc + t) AS dot,
-         aggregate(transform(a.v, x -> x * x), 0L, (acc, t) -> acc + t) AS na,
-         aggregate(transform(b.v, x -> x * x), 0L, (acc, t) -> acc + t) AS nb
-  FROM corpus a JOIN corpus b ON a.id < b.id
-)
-SELECT doc_a, doc_b,
-       ROUND(CAST(dot AS DOUBLE)
-             / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS cosine
-FROM scored
-WHERE CAST(dot AS DOUBLE)
-      / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.95
-"""
-_NEARDUP_DUCK = """
+         aggregate(transform(x.v, a -> a * a), 0L, (acc, t) -> acc + t) AS na,
+         aggregate(transform(y.v, a -> a * a), 0L, (acc, t) -> acc + t) AS nb
+  FROM cand cd
+  JOIN corpus x ON x.id = cd.doc_a
+  JOIN corpus y ON y.id = cd.doc_b"""
+    else:
+        quant = """
 WITH orig AS (
   SELECT vec_id AS id,
          list_transform(range(1, 65),
@@ -798,12 +824,35 @@ WITH orig AS (
   FROM orig
 ), corpus AS (
   SELECT * FROM orig UNION ALL SELECT * FROM pert
-), scored AS (
-  SELECT a.id AS doc_a, b.id AS doc_b,
-         list_sum(list_transform(range(1, 65), i -> a.v[i] * b.v[i])) AS dot,
-         list_sum(list_transform(a.v, x -> x * x)) AS na,
-         list_sum(list_transform(b.v, x -> x * x)) AS nb
-  FROM corpus a JOIN corpus b ON a.id < b.id
+)"""
+        w = _NEARDUP_PLANES.format(j="(i - 1)")
+        bits_body = f"""
+  SELECT id, p,
+         CASE WHEN list_sum(
+                list_transform(range(1, 65),
+                               i -> v[i] * ({w}))) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM corpus, range(0, 64) pt(p)"""
+        rerank = """
+  SELECT cd.doc_a, cd.doc_b,
+         list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i])) AS dot,
+         list_sum(list_transform(x.v, a -> a * a)) AS na,
+         list_sum(list_transform(y.v, a -> a * a)) AS nb
+  FROM cand cd
+  JOIN corpus x ON x.id = cd.doc_a
+  JOIN corpus y ON y.id = cd.doc_b"""
+    return f"""{quant}, bits AS ({bits_body}
+), bands AS (
+  SELECT id, CAST(FLOOR(p / 8.0) AS INT) AS b,
+         SUM(CASE WHEN bit = 1 THEN CAST(POW(2, p % 8) AS BIGINT)
+                  ELSE 0 END) AS band_val
+  FROM bits GROUP BY id, CAST(FLOOR(p / 8.0) AS INT)
+), cand AS (
+  SELECT a.id AS doc_a, c.id AS doc_b
+  FROM bands a JOIN bands c ON a.b = c.b AND a.band_val = c.band_val
+  WHERE a.id < c.id
+  GROUP BY a.id, c.id
+), scored AS ({rerank}
 )
 SELECT doc_a, doc_b,
        ROUND(CAST(dot AS DOUBLE)
@@ -812,6 +861,10 @@ FROM scored
 WHERE CAST(dot AS DOUBLE)
       / SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) >= 0.95
 """
+
+
+_NEARDUP_SPARK = _neardup_sql("spark")
+_NEARDUP_DUCK = _neardup_sql("duck")
 
 
 # ---------------------------------------------------------------------------
@@ -979,14 +1032,33 @@ def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode->resize->feature plumbing (decode stubbed, see
-    operators/multimodal.py)."""
+    """Image decode->resize->feature plumbing (png/raw decoded for real,
+    see operators/multimodal.py). The `thumb array<float>` column is
+    projected down to canonicalizable scalars (L2 norm + element md5) so
+    the driver's sort-based canonicalizer can hash the result."""
+    from pyspark.sql import functions as F
+
     from lidartree_spark.operators.multimodal import (
         image_features,
         synthetic_media,
     )
     media = synthetic_media(spark, 24)
-    return image_features(media.where("kind = 'image'"))
+    feats = image_features(media.where("kind = 'image'"))
+    return feats.select(
+        "media_id",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("grad_energy", 6).alias("grad_energy"),
+        F.size("thumb").alias("thumb_len"),
+        F.round(
+            F.sqrt(F.aggregate(
+                "thumb", F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"))),
+            6).alias("thumb_norm"),
+        F.md5(F.concat_ws(",", F.transform(
+            "thumb", lambda x: F.format_number(x.cast("double"), 4)))
+        ).alias("thumb_md5"),
+    )
 
 
 def _checkpointed_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
