@@ -12,6 +12,12 @@ decodable without PIL/cv2 (not available in this environment):
                  NaN encoded as sentinel 0xFFFF.
 - ``q8``       : lossy 8-bit linear quantization of [lo, hi] — exercises the
                  PSNR >= 40 dB acceptance path of the input contract.
+- ``png``      : real ISO 15948 16-bit grayscale PNG (below), lossless on
+                 the 1/256 grid.
+- ``jpeg``     : real baseline JFIF (lidartree_spark.jpeg, pure python) of
+                 the 8-bit [lo, hi] quantization, [lo, hi] carried in an
+                 APP1 segment; lossy (PSNR >= 40 dB contract), NaN filled
+                 with lo and NOT restored.
 
 Replaces the reference's terra/lidR file readers
 (/root/reference/R/common.R:16-20, tree_detection.R:1165-1173).
@@ -56,6 +62,8 @@ def encode_tile(arr: np.ndarray, fmt: str) -> bytes:
         q[np.isnan(a)] = 255  # NaN sentinel
         payload = zlib.compress(q.tobytes(order="C"), level=6)
         return _MAGIC + struct.pack("<HHff", h, w, lo, hi) + payload
+    if fmt == "jpeg":
+        return encode_jpeg_tile(a)
     raise ValueError(f"unknown tile format: {fmt!r}")
 
 
@@ -81,7 +89,54 @@ def decode_tile(buf: bytes, fmt: str, w: int, h: int) -> np.ndarray:
         out = (q.astype(np.float32) / 254.0) * (hi - lo) + lo
         out[q == 255] = np.nan
         return out
+    if fmt == "jpeg":
+        return decode_jpeg_tile(buf)
     raise ValueError(f"unknown tile format: {fmt!r}")
+
+
+# ---------------------------------------------------------------------------
+# JPEG float-tile wrapper: a real baseline JFIF (lidartree_spark.jpeg) of the
+# 8-bit [lo, hi]-quantized tile, with [lo, hi] in a private APP1 segment so
+# the float range round-trips. Any JPEG viewer renders the file (APP1 is
+# skipped); only decode_jpeg_tile restores map units.
+
+_JPEG_APP1_TAG = b"LTRJ"
+
+
+def encode_jpeg_tile(arr: np.ndarray, quality: int = 95) -> bytes:
+    from lidartree_spark.jpeg import encode_jpeg_gray
+    a = np.asarray(arr, dtype=np.float32)
+    finite = a[np.isfinite(a)]
+    lo = float(finite.min()) if finite.size else 0.0
+    hi = float(finite.max()) if finite.size else 1.0
+    if hi <= lo:
+        hi = lo + 1.0
+    u8 = np.clip(np.round((np.nan_to_num(a, nan=lo) - lo)
+                          / (hi - lo) * 255.0), 0, 255).astype(np.uint8)
+    jpg = encode_jpeg_gray(u8, quality=quality)
+    payload = _JPEG_APP1_TAG + struct.pack("<ff", lo, hi)
+    app1 = struct.pack(">HH", 0xFFE1, len(payload) + 2) + payload
+    return jpg[:2] + app1 + jpg[2:]  # APP1 right after SOI
+
+
+def decode_jpeg_tile(buf: bytes) -> np.ndarray:
+    from lidartree_spark.jpeg import decode_jpeg_gray
+    # scan marker segments for our APP1 range tag
+    lo, hi = 0.0, 255.0
+    pos = 2
+    while pos + 4 <= len(buf) and buf[pos] == 0xFF:
+        marker = buf[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (length,) = struct.unpack_from(">H", buf, pos + 2)
+        if marker == 0xE1 and buf[pos + 4:pos + 8] == _JPEG_APP1_TAG:
+            lo, hi = struct.unpack_from("<ff", buf, pos + 8)
+        if marker == 0xDA:
+            break
+        pos += 2 + length
+    u8 = decode_jpeg_gray(buf)
+    return (u8.astype(np.float32) / 255.0) * (hi - lo) + lo
 
 
 # ---------------------------------------------------------------------------
@@ -202,10 +257,17 @@ def psnr(ref: np.ndarray, test: np.ndarray) -> float:
 def phash64(arr: np.ndarray) -> int:
     """64-bit perceptual hash: 8x8 block-mean image thresholded at its median.
 
-    Deterministic, pure numpy (no DCT libs needed); stable across the lossless
-    codecs and robust to q8 quantization noise.
+    Deterministic, pure numpy (no DCT libs needed). The input is first
+    snapped to the 1/256 value grid — the precision every lossless codec
+    here preserves — so phash(source) == phash(decode(encode(source))) holds
+    EXACTLY for raw_f32/png16/png instead of depending on whether a block
+    mean sits within quantization distance of the median threshold.
     """
-    a = np.nan_to_num(np.asarray(arr, dtype=np.float64), nan=0.0)
+    # same float32 arithmetic as encode_png_gray16/png16, so the snap is
+    # bit-identical to what those codecs store
+    q = np.round(np.nan_to_num(np.asarray(arr, dtype=np.float32), nan=0.0)
+                 * 256.0)
+    a = np.clip(q, 0, 0xFFFE).astype(np.float64) / 256.0
     h, w = a.shape
     # average-pool to 8x8 by splitting into near-equal blocks
     ys = np.linspace(0, h, 9).astype(int)

@@ -19,7 +19,8 @@ import numpy as np
 from lidartree_spark.codecs import encode_tile, phash64
 
 RES = 0.5  # map units (m) per pixel, Chablais3 CHM convention
-FMTS = ("raw_f32", "png16", "q8", "png")  # png = real ISO 15948 gray16
+# png = real ISO 15948 gray16; jpeg = real baseline JFIF (pure python)
+FMTS = ("raw_f32", "png16", "q8", "png", "jpeg")
 
 
 def tile_seed(image_id: str) -> int:

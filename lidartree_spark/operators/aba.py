@@ -506,13 +506,32 @@ def aba_inference(predictions: DataFrame, model: AbaModel,
     if "SYNT" in types:
         out["SYNT"] = {"mean": float(agg.mean_pred), "var": float("nan")}
     if "STR" in types and stratum_col is not None:
+        # stratified estimator (aba.R:971-1000): pixel-share weights W_i
+        # from the prediction table, per-stratum mean/var from the
+        # observations (obs strata supplied as model.values["stratum"],
+        # the analogue of extracting r_mask at the obs coordinates);
+        # mean = sum(W_i * m_i), var = sum((var_i * W_i)^2 / n_i) —
+        # the reference's exact expression, quirky squaring included
         strata = predictions.groupBy(stratum_col).agg(
             F.count("*").alias("n_pix")).collect()
         tot = sum(r.n_pix for r in strata)
-        # per-stratum observation stats must be supplied via model.values
-        # extension; deferred to the stratified-model path (aba_combine_strata)
-        out["STR"] = {"weights": {r[stratum_col]: r.n_pix / tot
-                                  for r in strata}}
+        weights = {r[stratum_col]: r.n_pix / tot for r in strata}
+        obs_strata = model.values.get("stratum")
+        if obs_strata is None:
+            out["STR"] = {"weights": weights}
+        elif set(weights) != set(obs_strata):
+            import warnings
+            warnings.warn("Impossible to compute STR inference: categories "
+                          "not present in both observations and pixels",
+                          stacklevel=2)
+        else:
+            obs_strata = np.asarray(obs_strata)
+            mean = var = 0.0
+            for s, w in weights.items():
+                sel = obs_field[obs_strata == s]
+                mean += w * float(sel.mean())
+                var += (float(sel.var(ddof=1)) * w) ** 2 / sel.size
+            out["STR"] = {"mean": mean, "var": var, "weights": weights}
     for v in out.values():
         if "var" in v and v["var"] == v["var"]:
             v["sd"] = math.sqrt(v["var"])

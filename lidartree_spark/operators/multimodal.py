@@ -5,10 +5,12 @@ signatures) is real and tested. Format decoders:
 
 - fmt == "raw_f32" -> real decode (shared tile codec)
 - fmt == "png"     -> REAL ISO 15948 16-bit-gray PNG (codecs.decode_png_gray16)
+- fmt == "jpeg"    -> REAL baseline JFIF (lidartree_spark.jpeg, pure-python
+  T.81 sequential DCT — no libjpeg in this environment)
 - fmt == "wav"     -> REAL RIFF/WAVE PCM16 parsing (decode_wav_pcm16 below)
-- fmt in {"jpeg","mp4"} -> `FakeDecoder`, a clearly-marked deterministic
-  stand-in seeded by media_id (these need libjpeg/ffmpeg, absent in this
-  environment; same shape/dtype contract a real decoder would satisfy).
+- fmt == "mp4"     -> `FakeDecoder`, a clearly-marked deterministic
+  stand-in seeded by media_id (real mp4 needs ffmpeg/pyav, absent here;
+  same shape/dtype contract a real decoder would satisfy).
   `decode_*(..., strict=True)` raises NotImplementedError instead.
 
 Downstream ops (resize, feature extraction, frame sampling, RMS energy) are
@@ -29,7 +31,7 @@ MEDIA_SCHEMA = ("media_id string, kind string, bytes binary, fmt string, "
                 "width int, height int, channels int, sample_rate int, "
                 "n_frames int")
 
-STUB_FORMATS = {"jpeg", "mp4"}
+STUB_FORMATS = {"mp4"}
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -100,6 +102,10 @@ def decode_image_array(rec, strict: bool = False) -> np.ndarray:
     if rec.fmt == "png":
         from lidartree_spark.codecs import decode_png_gray16
         return decode_png_gray16(rec.bytes)[..., None]
+    if rec.fmt == "jpeg":
+        from lidartree_spark.jpeg import decode_jpeg_gray
+        return (decode_jpeg_gray(rec.bytes).astype(np.float32)
+                / 255.0)[..., None]
     if rec.fmt in STUB_FORMATS:
         if strict:
             raise NotImplementedError(
@@ -211,25 +217,28 @@ def video_frame_sample(media: DataFrame, every: int = 4,
 
 def synthetic_media(spark, n: int = 24) -> DataFrame:
     """Small deterministic media table exercising all three kinds. Images
-    alternate stubbed jpeg and REAL PNG payloads; audio carries REAL
+    alternate REAL baseline JPEG and REAL PNG payloads; audio carries REAL
     RIFF/WAVE PCM16 bytes; video stays a metadata-only mp4 stub."""
     from lidartree_spark.codecs import encode_png_gray16
+    from lidartree_spark.jpeg import encode_jpeg_gray
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
         mid = f"m{i:04d}"
         if kind == "image":
             w, h = 32 + 8 * (i % 3), 24 + 8 * (i % 2)
+            img = FakeDecoder.image(mid, w, h, 1)[:, :, 0]
             if i % 2 == 0:
-                img = FakeDecoder.image(mid, w, h, 1)[:, :, 0]
                 rows.append({"media_id": mid, "kind": kind,
                              "bytes": encode_png_gray16(img), "fmt": "png",
                              "width": w, "height": h, "channels": 1,
                              "sample_rate": 0, "n_frames": 0})
             else:
-                rows.append({"media_id": mid, "kind": kind, "bytes": b"",
+                u8 = np.clip(np.round(img * 255.0), 0, 255).astype(np.uint8)
+                rows.append({"media_id": mid, "kind": kind,
+                             "bytes": encode_jpeg_gray(u8, quality=95),
                              "fmt": "jpeg", "width": w, "height": h,
-                             "channels": 3, "sample_rate": 0, "n_frames": 0})
+                             "channels": 1, "sample_rate": 0, "n_frames": 0})
         elif kind == "audio":
             nf = 4096 + 512 * (i % 4)
             samples = FakeDecoder.audio(mid, 16000, nf)

@@ -120,7 +120,7 @@ def decode_check(tiles: DataFrame) -> DataFrame:
                 col = int(rec.image_id[6:10])
                 _, truth, _ = gen_tile(row, col, rec.w, rec.h)
                 m = np.isfinite(truth)
-                if rec.fmt == "q8":
+                if rec.fmt in ("q8", "jpeg"):  # lossy: PSNR contract
                     ok_pix = bool(psnr(truth, arr) >= 40.0)
                 else:
                     tol = 0.0 if rec.fmt == "raw_f32" else 1.0 / 256 + 1e-6
@@ -131,7 +131,7 @@ def decode_check(tiles: DataFrame) -> DataFrame:
                     "fmt": rec.fmt,
                     "pixels_ok": ok_pix,
                     "phash_ok": bool(phash64(arr) == rec.phash
-                                     or rec.fmt == "q8"),
+                                     or rec.fmt in ("q8", "jpeg")),
                     "caption_len": len(rec.caption),
                 })
             yield pd.DataFrame(out)

@@ -461,8 +461,12 @@ SELECT plot_id,
 FROM metrics
 """
 
-# §2.10 aba_inference — SRS / difference-estimator aggregates (aba.R:923-943)
-# over the prediction table, with "observations" = a deterministic subset.
+# §2.10 aba_inference — SRS / difference-estimator / stratified aggregates
+# (aba.R:923-943 and :971-1000) over the prediction table, with
+# "observations" = a deterministic subset and strata = plot_id parity.
+# STR follows the reference exactly: W_i = pixel share, m_i/v_i/n_i = obs
+# mean / sample variance / count per stratum; mean = sum(W*m),
+# var = sum((v*W)^2 / n) (the reference's own squaring).
 _ABA_INFERENCE = """
 WITH metrics AS (
   SELECT l_suppkey AS plot_id, AVG(l_quantity) AS zmean
@@ -471,16 +475,29 @@ WITH metrics AS (
   SELECT plot_id, 1.5 * zmean + 3.0 AS prediction,
          CASE WHEN plot_id % 5 = 0 THEN 1.6 * zmean + 2.0 END AS field
   FROM metrics
+), base AS (
+  SELECT ROUND(AVG(field), 6) AS srs_mean,
+         ROUND(VAR_SAMP(field), 6) AS srs_var,
+         ROUND(AVG(prediction)
+               - (SUM(CASE WHEN field IS NOT NULL
+                           THEN prediction - field ELSE 0 END)
+                  / COUNT(field)), 6) AS ed_mean,
+         CAST(COUNT(field) AS BIGINT) AS n_obs,
+         CAST(COUNT(*) AS BIGINT) AS n_pred
+  FROM pred
+), strat AS (
+  SELECT plot_id % 2 AS st, COUNT(*) AS n_pix, AVG(field) AS m,
+         VAR_SAMP(field) AS v, COUNT(field) AS n_o
+  FROM pred GROUP BY plot_id % 2
+), str_est AS (
+  SELECT ROUND(SUM((CAST(n_pix AS DOUBLE)
+                    / (SELECT SUM(n_pix) FROM strat)) * m), 6) AS str_mean,
+         ROUND(SUM(POW(v * (CAST(n_pix AS DOUBLE)
+                            / (SELECT SUM(n_pix) FROM strat)), 2)
+                   / n_o), 6) AS str_var
+  FROM strat
 )
-SELECT ROUND(AVG(field), 6) AS srs_mean,
-       ROUND(VAR_SAMP(field), 6) AS srs_var,
-       ROUND(AVG(prediction)
-             - (SUM(CASE WHEN field IS NOT NULL
-                         THEN prediction - field ELSE 0 END)
-                / COUNT(field)), 6) AS ed_mean,
-       CAST(COUNT(field) AS BIGINT) AS n_obs,
-       CAST(COUNT(*) AS BIGINT) AS n_pred
-FROM pred
+SELECT base.*, str_est.* FROM base CROSS JOIN str_est
 """
 
 # §2.3 clean_raster (aba.R:861-877): clamp to [min,max], NA->0, apply mask.

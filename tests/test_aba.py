@@ -116,6 +116,45 @@ def test_predict_and_inference(spark, plots):
     assert inf["SYNT"]["mean"] == pytest.approx(float(pdf.prediction.mean()))
 
 
+def test_inference_str_two_strata_hand_computation(spark):
+    """STR estimator == the aba.R:971-1000 formulas on a two-strata corpus:
+    mean = sum(W_i m_i), var = sum((v_i W_i)^2 / n_i) with W from pixel
+    shares and m/v/n from the observations."""
+    field = np.array([10.0, 12.0, 14.0, 20.0, 22.0, 26.0])
+    model = AbaModel(
+        variable="G", predictors=["zmean"],
+        coefficients={"(Intercept)": 0.0, "zmean": 1.0}, transform="none",
+        lambda_=float("nan"), adjR2=1.0, var_res=0.0, n=6,
+        values={"field": field.tolist(), "predicted": field.tolist(),
+                "stratum": ["a", "a", "a", "b", "b", "b"]})
+    pred = spark.createDataFrame(pd.DataFrame({
+        "prediction": np.arange(10.0),
+        "stratum": ["a"] * 7 + ["b"] * 3}))
+    out = aba_inference(pred, model, stratum_col="stratum",
+                        types=("SRS", "STR"))
+    wa, wb = 0.7, 0.3
+    ma, mb = field[:3].mean(), field[3:].mean()
+    va, vb = field[:3].var(ddof=1), field[3:].var(ddof=1)
+    assert out["STR"]["weights"] == pytest.approx({"a": wa, "b": wb})
+    assert out["STR"]["mean"] == pytest.approx(wa * ma + wb * mb)
+    assert out["STR"]["var"] == pytest.approx(
+        (va * wa) ** 2 / 3 + (vb * wb) ** 2 / 3)
+    assert out["STR"]["sd"] == pytest.approx(math.sqrt(out["STR"]["var"]))
+
+    # category mismatch -> reference behavior: warning, STR omitted
+    model.values["stratum"] = ["a", "a", "a", "x", "x", "x"]
+    with pytest.warns(UserWarning, match="STR inference"):
+        out2 = aba_inference(pred, model, stratum_col="stratum",
+                             types=("STR",))
+    assert "STR" not in out2
+
+    # no obs strata supplied -> weights-only fallback (pre-existing API)
+    del model.values["stratum"]
+    out3 = aba_inference(pred, model, stratum_col="stratum", types=("STR",))
+    assert out3["STR"] == {"weights": {"a": pytest.approx(wa),
+                                       "b": pytest.approx(wb)}}
+
+
 def test_predict_stratified(spark, plots):
     models = {}
     for s in ("public", "private"):

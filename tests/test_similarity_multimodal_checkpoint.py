@@ -127,13 +127,33 @@ def test_image_features_plumbing(spark):
 
 
 def test_decode_strict_raises():
+    # mp4 is the one remaining stub format (no ffmpeg in this environment)
     class Rec:
-        media_id, fmt, width, height, channels = "m1", "jpeg", 8, 8, 3
+        media_id, fmt, width, height, channels = "m1", "mp4", 8, 8, 3
         bytes = b""
     with pytest.raises(NotImplementedError):
         decode_image_array(Rec, strict=True)
     arr = decode_image_array(Rec)  # fake path
     assert arr.shape == (8, 8, 3)
+
+
+def test_decode_jpeg_is_real():
+    """fmt == 'jpeg' decodes the actual payload (not a media_id-seeded
+    fake): pixels approximate the encoder's source within the lossy
+    contract."""
+    from lidartree_spark.codecs import psnr
+    from lidartree_spark.jpeg import encode_jpeg_gray
+
+    src = FakeDecoder.image("jpeg-src", 40, 24, 1)[:, :, 0]
+    u8 = np.clip(np.round(src * 255.0), 0, 255).astype(np.uint8)
+
+    class Rec:
+        media_id, fmt, width, height, channels = "other-id", "jpeg", 40, 24, 1
+        bytes = encode_jpeg_gray(u8, quality=95)
+
+    arr = decode_image_array(Rec, strict=True)  # strict: no fake fallback
+    assert arr.shape == (24, 40, 1)
+    assert psnr(u8.astype(float), arr[:, :, 0] * 255.0) >= 40.0
 
 
 def test_audio_video_plumbing(spark):
