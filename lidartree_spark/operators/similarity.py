@@ -82,7 +82,8 @@ def _bucketize(df: DataFrame, id_col: str, vec_col: str, n_tables: int,
 
 def train_centroids(embeddings: DataFrame, n_centroids: int = 16,
                     iters: int = 2, id_col: str = "vec_id",
-                    vec_col: str = "embedding", seed: int = 131) -> np.ndarray:
+                    vec_col: str = "embedding", seed: int = 131,
+                    sample_fraction: float | None = None) -> np.ndarray:
     """Deterministic distributed k-means for the IVF codebook.
 
     Init: the n_centroids rows with the smallest md5-derived hash of their
@@ -90,9 +91,22 @@ def train_centroids(embeddings: DataFrame, n_centroids: int = 16,
     iteration is one pass: per Arrow batch, assign via matmul and emit
     per-centroid (sum_vec, count) partials; partials (<= partitions x C
     rows) are combined on the driver. Empty cells keep their previous
-    centroid."""
-    init = (embeddings
-            .select(id_col, vec_col)
+    centroid.
+
+    sample_fraction (0, 1] trains the codebook on a DETERMINISTIC md5-hash
+    sample of the corpus instead of every row — at 10^12 vectors the Lloyd
+    passes must not scan the full table (a 1e-4 sample still gives ~1e8
+    training points, far more than any codebook needs). Hash-gating keeps
+    the sample identical across executors/retries, unlike rand()."""
+    train = embeddings.select(id_col, vec_col)
+    if sample_fraction is not None and sample_fraction < 1.0:
+        gate = int(max(1.0, sample_fraction * 10000.0))
+        train = train.where(
+            F.pmod(F.conv(F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed + 1),
+                                  F.col(id_col).cast("string"))), 1, 8),
+                16, 10).cast("long"), F.lit(10000)) < gate)
+    init = (train
             .withColumn("_h", F.md5(F.concat_ws("|", F.lit(seed),
                                                 F.col(id_col).cast("string"))))
             .orderBy("_h")
@@ -121,7 +135,7 @@ def train_centroids(embeddings: DataFrame, n_centroids: int = 16,
                                 "n": acc_n[nz],
                                 "sums": [acc_s[i].tolist() for i in nz]})
 
-        rows = (embeddings.select(vec_col)
+        rows = (train.select(vec_col)
                 .mapInPandas(partials, schema=partial_schema).collect())
         new = centroids.copy()
         tot_n = np.zeros(len(centroids), dtype=np.int64)
@@ -156,7 +170,8 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray, nprobe: int,
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 16, nprobe: int = 4, iters: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             centroids: np.ndarray | None = None) -> DataFrame:
+             centroids: np.ndarray | None = None,
+             sample_fraction: float | None = None) -> DataFrame:
     """IVF approximate top-k: base vectors live in their nearest-centroid
     cell (1 cell each); queries probe their nprobe nearest cells; exact
     cosine rerank within the probed cells; window top-k. nprobe ==
@@ -164,7 +179,8 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     sanity bound in tests)."""
     if centroids is None:
         centroids = train_centroids(embeddings, n_centroids, iters,
-                                    id_col, vec_col)
+                                    id_col, vec_col,
+                                    sample_fraction=sample_fraction)
     base_cells = _assign_cells(embeddings, centroids, 1, id_col, vec_col,
                                "vec_id")
     query_cells = _assign_cells(queries, centroids, nprobe, id_col, vec_col,

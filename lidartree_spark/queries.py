@@ -898,6 +898,110 @@ def _flagship_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_trees(tiles)
 
 
+# Greedy tree matching (tree_match.R:47-103) with a REAL DuckDB oracle:
+# point sets are derived from `events` by identical integer/double
+# arithmetic in both engines (planted near-duplicates + spurious extras);
+# Spark runs the actual kernel (kernels/matching.tree_matching — iterative
+# global argmin with the reference's exact cost and tie-break), DuckDB
+# re-derives the same pairing with a recursive CTE whose LATERAL step picks
+# the global minimum-cost unmatched pair each round. The constants below
+# are inlined into BOTH sides so the cost doubles are bit-identical.
+_TM_C0 = 2.1 ** 2            # delta_ground^2
+_TM_C1 = 2.0 * 0.14 * 2.1    # 2 * h_prec * delta_ground
+_TM_C2 = 0.14 ** 2           # h_prec^2
+
+_TM_REFS_SQL = """
+  SELECT event_id AS rid,
+         CAST(event_id % 97 AS DOUBLE) + value / 1000 AS x,
+         CAST(CAST(FLOOR(event_id / 97.0) AS BIGINT) % 89 AS DOUBLE)
+             + value / 997 AS y,
+         10.0 + CAST(event_id % 25 AS DOUBLE) + value / 100 AS h
+  FROM events WHERE event_id % 211 = 0
+"""
+
+_TM_DETS_SQL = f"""
+  SELECT rid + 1000000 AS did, x + 0.3 AS x, y - 0.4 AS y, h + 0.5 AS h
+  FROM ({_TM_REFS_SQL}) planted
+  UNION ALL
+  SELECT event_id AS did,
+         CAST(event_id % 97 AS DOUBLE) + value / 1000 AS x,
+         CAST(CAST(FLOOR(event_id / 97.0) AS BIGINT) % 89 AS DOUBLE)
+             + value / 997 AS y,
+         10.0 + CAST(event_id % 25 AS DOUBLE) + value / 100 AS h
+  FROM events WHERE event_id % 211 = 7
+"""
+
+_TM_ORACLE_DUCK = f"""
+WITH RECURSIVE refs AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY rid) AS r, * FROM ({_TM_REFS_SQL})
+), dets AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY did) AS d, * FROM ({_TM_DETS_SQL})
+), pairs AS (
+  SELECT refs.r, dets.d, refs.rid, dets.did,
+         LEAST(((dets.x - refs.x) * (dets.x - refs.x)
+                + (dets.y - refs.y) * (dets.y - refs.y)
+                + (dets.h - refs.h) * (dets.h - refs.h))
+               / ({_TM_C0!r} + {_TM_C1!r} * refs.h
+                  + {_TM_C2!r} * (refs.h * refs.h)), 1.0) AS cost,
+         dets.h - refs.h AS h_diff,
+         SQRT((dets.x - refs.x) * (dets.x - refs.x)
+              + (dets.y - refs.y) * (dets.y - refs.y)) AS plan_diff
+  FROM refs, dets
+), greedy AS (
+  SELECT 0 AS step, CAST([] AS BIGINT[]) AS mr, CAST([] AS BIGINT[]) AS md
+  UNION ALL
+  SELECT g.step + 1, list_append(g.mr, best.r), list_append(g.md, best.d)
+  FROM greedy g, LATERAL (
+    SELECT r, d FROM pairs
+    WHERE cost < 1.0 AND NOT list_contains(g.mr, r)
+      AND NOT list_contains(g.md, d)
+    ORDER BY cost, r, d LIMIT 1
+  ) best
+), picked AS (
+  SELECT mr[step] AS r, md[step] AS d FROM greedy WHERE step > 0
+)
+SELECT p.rid, p.did, ROUND(p.h_diff, 6) AS h_diff,
+       ROUND(p.plan_diff, 6) AS plan_diff
+FROM picked pk JOIN pairs p ON p.r = pk.r AND p.d = pk.d
+"""
+
+
+def _tree_match_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real greedy-matching kernel on SQL-derivable point sets; oracle =
+    recursive-CTE greedy replica (_TM_ORACLE_DUCK). The pipeline-integrated
+    per-tile matcher stays gated as tree_match_greedy."""
+    import math
+
+    import pandas as pd
+
+    load_views(spark, sf_dir)
+    refs = spark.sql(f"SELECT 1 AS g, * FROM ({_TM_REFS_SQL}) t")
+    dets = spark.sql(f"SELECT 1 AS g, * FROM ({_TM_DETS_SQL}) t")
+
+    def match(rpdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        from lidartree_spark.kernels.matching import tree_matching
+        r = rpdf.sort_values("rid").reset_index(drop=True)
+        d = dpdf.sort_values("did").reset_index(drop=True)
+        pairs = tree_matching(r[["x", "y", "h"]].to_numpy(),
+                              d[["x", "y", "h"]].to_numpy(), stat=False)
+        out = []
+        for m in pairs:
+            ri, di = m["r"] - 1, m["d"] - 1
+            dx = float(d.x[di] - r.x[ri])
+            dy = float(d.y[di] - r.y[ri])
+            out.append({"rid": int(r.rid[ri]), "did": int(d.did[di]),
+                        "h_diff": float(d.h[di] - r.h[ri]),
+                        "plan_diff": math.sqrt(dx * dx + dy * dy)})
+        return pd.DataFrame(out, columns=["rid", "did", "h_diff",
+                                          "plan_diff"])
+
+    res = refs.groupBy("g").cogroup(dets.groupBy("g")).applyInPandas(
+        match, schema="rid long, did long, h_diff double, plan_diff double")
+    return res.select("rid", "did",
+                      F.round("h_diff", 6).alias("h_diff"),
+                      F.round("plan_diff", 6).alias("plan_diff"))
+
+
 def _match_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-tile greedy matching of detections vs ground-truth inventory."""
     from lidartree_spark.operators.detection import detect_trees
@@ -967,6 +1071,16 @@ def _gap_detect_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lidartree_spark.operators.tiles import synthetic_tiles
     return detect_gaps_global(synthetic_tiles(spark, 4, 4),
                               {"max_height": 20.0})
+
+
+def _gap_detect_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global gap merge with gap_reconstruct=True (gap_detection.R:184-196:
+    gaps extended into connected low-canopy pixels before labeling) —
+    mosaic parity for this mode is asserted in tests/test_gap_merge.py."""
+    from lidartree_spark.operators.gaps import detect_gaps_global
+    from lidartree_spark.operators.tiles import synthetic_tiles
+    return detect_gaps_global(synthetic_tiles(spark, 4, 4),
+                              {"max_height": 20.0, "gap_reconstruct": True})
 
 
 def _coregistration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1144,33 +1258,79 @@ def _tree_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clouds_tree_metrics_df(synthetic_tiles(spark, 4, 4))
 
 
-def _edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """edge_detection (gap_detection.R:274-291): per-tile inside/outside gap
-    edge pixel counts."""
-    from typing import Iterator
+# edge_detection (gap_detection.R:274-291) with a REAL DuckDB oracle: the
+# binary mask is derived from the `events` table by integer arithmetic
+# (identical in both engines: 5x5 blob per seed event, clipped to a 64x64
+# grid), Spark runs the actual numpy morphology kernel
+# (binary erode/dilate by create_disk(3) == the 5-cell plus, clipped-window
+# boundary), and DuckDB re-derives the same edges relationally: a mask cell
+# is an INSIDE edge iff some in-bounds plus-neighbor position is missing
+# from the mask (erosion removes it); an in-bounds non-mask position is an
+# OUTSIDE edge iff it is a plus-neighbor of a mask cell (dilation adds it).
+# Both reduce to ONE anti-join of neighbor positions against the mask.
+_EDGE_SEEDS_SQL = """
+  SELECT CAST(user_id % 16 AS INT) AS t,
+         CAST(event_id % 64 AS INT) AS si,
+         CAST(CAST(FLOOR(event_id / 64.0) AS BIGINT) % 64 AS INT) AS sj
+  FROM events WHERE event_id % 41 = 0
+"""
 
+_EDGE_STATS_DUCK = f"""
+WITH seeds AS ({_EDGE_SEEDS_SQL}),
+offs AS (SELECT a.di, b.dj FROM range(-2, 3) a(di), range(-2, 3) b(dj)),
+mask AS (
+  SELECT DISTINCT t, si + di AS i, sj + dj AS j
+  FROM seeds, offs
+  WHERE si + di BETWEEN 0 AND 63 AND sj + dj BETWEEN 0 AND 63
+),
+plus AS (SELECT * FROM (VALUES (0, 0), (0, 1), (0, -1), (1, 0), (-1, 0))
+         o(di, dj)),
+nb AS (
+  SELECT m.t, m.i, m.j, m.i + p.di AS ni, m.j + p.dj AS nj
+  FROM mask m, plus p
+  WHERE m.i + p.di BETWEEN 0 AND 63 AND m.j + p.dj BETWEEN 0 AND 63
+),
+miss AS (
+  SELECT nb.t, nb.i, nb.j, nb.ni, nb.nj
+  FROM nb ANTI JOIN mask x
+    ON x.t = nb.t AND x.i = nb.ni AND x.j = nb.nj
+),
+inside AS (SELECT t, COUNT(*) AS n
+           FROM (SELECT DISTINCT t, i, j FROM miss) GROUP BY t),
+outside AS (SELECT t, COUNT(*) AS n
+            FROM (SELECT DISTINCT t, ni, nj FROM miss) GROUP BY t)
+SELECT m.t AS tile,
+       CAST(COALESCE(i.n, 0) AS BIGINT) AS edges_inside,
+       CAST(COALESCE(o.n, 0) AS BIGINT) AS edges_outside
+FROM (SELECT DISTINCT t FROM mask) m
+LEFT JOIN inside i ON i.t = m.t
+LEFT JOIN outside o ON o.t = m.t
+"""
+
+
+def _edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """edge_detection (gap_detection.R:274-291) over events-derived blob
+    masks; oracle = relational morphology (_EDGE_STATS_DUCK). The kernel is
+    also exercised on real gap masks in tests/test_halo_gaps_coreg.py."""
     import pandas as pd
 
-    from lidartree_spark.operators.tiles import synthetic_tiles
+    load_views(spark, sf_dir)
+    seeds = spark.sql(_EDGE_SEEDS_SQL)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from lidartree_spark.codecs import decode_tile
-        from lidartree_spark.kernels.gaps import edge_detection, gap_detection
-        for pdf in batches:
-            out = []
-            for rec in pdf.itertuples(index=False):
-                chm = decode_tile(rec.bytes, rec.fmt, rec.w, rec.h)
-                gaps = (gap_detection(chm, res=0.5)["gap_id"] > 0)
-                out.append({
-                    "image_id": rec.image_id,
-                    "edges_inside": int(edge_detection(gaps, True).sum()),
-                    "edges_outside": int(edge_detection(gaps, False).sum()),
-                })
-            yield pd.DataFrame(out, columns=["image_id", "edges_inside",
-                                             "edges_outside"])
+    def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from lidartree_spark.kernels.gaps import edge_detection
+        mask = np.zeros((64, 64), dtype=np.float64)
+        for si, sj in zip(pdf["si"], pdf["sj"]):
+            mask[max(0, si - 2):si + 3, max(0, sj - 2):sj + 3] = 1.0
+        return pd.DataFrame([{
+            "tile": int(key[0]),
+            "edges_inside": int(edge_detection(mask, True).sum()),
+            "edges_outside": int(edge_detection(mask, False).sum()),
+        }])
 
-    return synthetic_tiles(spark, 4, 4).mapInPandas(
-        run, schema="image_id string, edges_inside long, edges_outside long")
+    return seeds.groupBy("t").applyInPandas(
+        run, schema="tile int, edges_inside long, edges_outside long")
 
 
 def _chull_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1223,9 +1383,12 @@ _NO_ORACLE = {
     "points_to_tiles_detect": _points_to_tiles,
     "points2dtm_normalize_detect": _points2dtm_normalize_detect,
     "clouds_tree_metrics": _tree_metrics,
-    "edge_detection_stats": _edge_stats,
     "raster_chull_mask": _chull_mask,
+    "gap_detection_reconstruct": _gap_detect_reconstruct,
 }
+
+_DIALECT["edge_detection_stats"] = (_edge_stats, _EDGE_STATS_DUCK)
+_DIALECT["tree_match_oracle"] = (_tree_match_oracle, _TM_ORACLE_DUCK)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -105,6 +105,28 @@ def test_train_centroids_deterministic(spark, emb):
     assert c1.shape == (8, 64)
 
 
+def test_ivf_sampled_codebook_recall(spark, emb):
+    """Codebook trained on a deterministic hash-sample of the corpus (the
+    scale path for Lloyd passes): still deterministic, recall unchanged in
+    practice on this corpus."""
+    cs1 = train_centroids(emb, n_centroids=8, iters=2, sample_fraction=0.5)
+    cs2 = train_centroids(emb, n_centroids=8, iters=2, sample_fraction=0.5)
+    assert np.allclose(cs1, cs2)
+    q = emb.where("vec_id < 10")
+    exact = brute_force_topk(emb, q, k=5).collect()
+    approx = ivf_topk(emb, q, k=5, n_centroids=8, nprobe=4, iters=2,
+                      sample_fraction=0.5).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r.qid, set()).add(r.vec_id)
+    for r in approx:
+        approx_sets.setdefault(r.qid, set()).add(r.vec_id)
+    hits = sum(len(exact_sets[q_] & approx_sets.get(q_, set()))
+               for q_ in exact_sets)
+    recall = hits / sum(len(s) for s in exact_sets.values())
+    assert recall >= 0.4, f"sampled-codebook IVF recall too low: {recall}"
+
+
 def test_resize_bilinear_identity_and_downscale():
     img = np.arange(16, dtype=np.float64).reshape(4, 4)[..., None]
     same = resize_bilinear(img, 4, 4)
