@@ -8,10 +8,13 @@ signatures) is real and tested. Format decoders:
 - fmt == "jpeg"    -> REAL baseline JFIF (lidartree_spark.jpeg, pure-python
   T.81 sequential DCT — no libjpeg in this environment)
 - fmt == "wav"     -> REAL RIFF/WAVE PCM16 parsing (decode_wav_pcm16 below)
+- fmt == "avi"     -> REAL RIFF/AVI Motion-JPEG (lidartree_spark.avi; each
+  frame is a baseline JPEG)
 - fmt == "mp4"     -> `FakeDecoder`, a clearly-marked deterministic
-  stand-in seeded by media_id (real mp4 needs ffmpeg/pyav, absent here;
-  same shape/dtype contract a real decoder would satisfy).
-  `decode_*(..., strict=True)` raises NotImplementedError instead.
+  stand-in seeded by media_id (a from-scratch H.264 decoder is out of
+  scope and ffmpeg/pyav are absent here; same shape/dtype contract a real
+  decoder would satisfy). `decode_*(..., strict=True)` raises
+  NotImplementedError instead.
 
 Downstream ops (resize, feature extraction, frame sampling, RMS energy) are
 REAL numpy implementations over whatever the decode stage yields.
@@ -200,8 +203,13 @@ def video_frame_sample(media: DataFrame, every: int = 4,
         for pdf in batches:
             out = []
             for rec in pdf.itertuples(index=False):
-                frames = FakeDecoder.video(rec.media_id, rec.width,
-                                           rec.height, rec.n_frames)
+                if rec.fmt == "avi":
+                    from lidartree_spark.avi import decode_avi_mjpeg
+                    frames = (decode_avi_mjpeg(rec.bytes)
+                              .astype(np.float32) / 255.0)
+                else:
+                    frames = FakeDecoder.video(rec.media_id, rec.width,
+                                               rec.height, rec.n_frames)
                 for i in range(0, frames.shape[0], every):
                     th = resize_bilinear(frames[i][..., None], resize_to,
                                          resize_to)
@@ -218,7 +226,8 @@ def video_frame_sample(media: DataFrame, every: int = 4,
 def synthetic_media(spark, n: int = 24) -> DataFrame:
     """Small deterministic media table exercising all three kinds. Images
     alternate REAL baseline JPEG and REAL PNG payloads; audio carries REAL
-    RIFF/WAVE PCM16 bytes; video stays a metadata-only mp4 stub."""
+    RIFF/WAVE PCM16 bytes; video carries REAL RIFF/AVI Motion-JPEG."""
+    from lidartree_spark.avi import encode_avi_mjpeg
     from lidartree_spark.codecs import encode_png_gray16
     from lidartree_spark.jpeg import encode_jpeg_gray
     rows = []
@@ -248,8 +257,10 @@ def synthetic_media(spark, n: int = 24) -> DataFrame:
                          "channels": 1, "sample_rate": 16000,
                          "n_frames": nf})
         else:
-            rows.append({"media_id": mid, "kind": kind, "bytes": b"",
-                         "fmt": "mp4", "width": 16, "height": 12,
-                         "channels": 3, "sample_rate": 0,
-                         "n_frames": 8 + (i % 5)})
+            nf = 8 + (i % 5)
+            frames = FakeDecoder.video(mid, 16, 12, nf)
+            rows.append({"media_id": mid, "kind": kind,
+                         "bytes": encode_avi_mjpeg(frames, quality=95),
+                         "fmt": "avi", "width": 16, "height": 12,
+                         "channels": 1, "sample_rate": 0, "n_frames": nf})
     return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)

@@ -166,20 +166,35 @@ GROUP BY plot_id
 # the greedy loop; the exact greedy semantics live in q_match_trees_greedy,
 # checked rows-only + pytest). ref = customer-derived, det = supplier-derived
 # synthetic positions; rmax = 20.
-_MUTUAL_NN = """
-WITH ref AS (
+# Mutual-NN matching surrogate, GRID-BUCKETED (north rule "grid-bucketed
+# kNN"): candidate pairs within Euclidean 20 come from an EQUI-join on a
+# 20-unit cell key — the ref side expands to its 3x3 neighbor cells
+# (lateral sequence, no join operator), the det side carries one cell —
+# instead of a range-predicate nested loop. Complete by construction:
+# |dx|,|dy| <= 20 implies cell deltas in {-1,0,1}. This is the same shuffle
+# shape grid.neighbor_cell_ids produces for the DataFrame operators.
+def _mutual_nn_sql(d: str) -> str:
+    cxs = _lat_seq(d, "cx0 - 1", "cx0 + 1", "cxs", "cx")
+    cys = _lat_seq(d, "cy0 - 1", "cy0 + 1", "cys", "cy")
+    return f"""
+WITH ref0 AS (
   SELECT c_custkey AS rid, (c_custkey % 97) * 1.0 AS x,
-         (c_custkey % 89) * 1.0 AS y, c_acctbal / 100.0 AS h
+         (c_custkey % 89) * 1.0 AS y, c_acctbal / 100.0 AS h,
+         CAST(FLOOR((c_custkey % 97) / 20.0) AS BIGINT) AS cx0,
+         CAST(FLOOR((c_custkey % 89) / 20.0) AS BIGINT) AS cy0
   FROM customer WHERE c_custkey <= 400
+), ref AS (
+  SELECT rid, x, y, h, cx, cy FROM ref0{cxs}{cys}
 ), det AS (
   SELECT s_suppkey AS did, (s_suppkey % 97) * 1.0 AS x,
-         (s_suppkey % 89) * 1.0 AS y, s_acctbal / 100.0 AS h
+         (s_suppkey % 89) * 1.0 AS y, s_acctbal / 100.0 AS h,
+         CAST(FLOOR((s_suppkey % 97) / 20.0) AS BIGINT) AS cx,
+         CAST(FLOOR((s_suppkey % 89) / 20.0) AS BIGINT) AS cy
   FROM supplier
 ), pairs AS (
   SELECT r.rid, d.did,
          (r.x - d.x) * (r.x - d.x) + (r.y - d.y) * (r.y - d.y) AS d2
-  FROM ref r JOIN det d
-    ON ABS(r.x - d.x) <= 20 AND ABS(r.y - d.y) <= 20
+  FROM ref r JOIN det d ON r.cx = d.cx AND r.cy = d.cy
   WHERE (r.x - d.x) * (r.x - d.x) + (r.y - d.y) * (r.y - d.y) <= 400
 ), best_r AS (
   SELECT rid, did, d2,
@@ -197,8 +212,9 @@ WHERE r.rk = 1 AND d.rk = 1
 
 # §2.5 hist_detection confusion counts from the mutual-NN matching
 # (tree_match.R:201-232): anti-join counts.
-_HIST_DETECTION = f"""
-WITH matched AS ({_MUTUAL_NN})
+def _hist_detection_sql(d: str) -> str:
+    return f"""
+WITH matched AS ({_mutual_nn_sql(d)})
 SELECT CAST((SELECT COUNT(*) FROM matched) AS BIGINT) AS true_detections,
        CAST((SELECT COUNT(*) FROM supplier s WHERE NOT EXISTS
              (SELECT 1 FROM matched m WHERE m.did = s.s_suppkey)) AS BIGINT)
@@ -209,10 +225,12 @@ SELECT CAST((SELECT COUNT(*) FROM matched) AS BIGINT) AS true_detections,
            AS omissions
 """
 
+
 # §2.6 height_regression — closed-form lm(Hm ~ Hl) + error stats
 # (tree_match.R:303-353) over mutual-NN matched pairs.
-_HEIGHT_REGRESSION = f"""
-WITH matched AS ({_MUTUAL_NN}),
+def _height_regression_sql(d: str) -> str:
+    return f"""
+WITH matched AS ({_mutual_nn_sql(d)}),
 hs AS (
   SELECT c.c_acctbal / 100.0 AS hm, s.s_acctbal / 100.0 AS hl
   FROM matched m
@@ -230,28 +248,55 @@ FROM hs
 """
 
 # §2.6 point-in-polygon join — rectangles derived from nation; points from
-# customer; half-open [min, max) inclusion. In Spark the 25-row dim side is
-# broadcast (range-predicate nested-loop on a broadcast table).
-_PIP_JOIN = """
+# customer; half-open [min, max) inclusion. GRID-BUCKETED: polygons expand
+# to the 32-unit cells their bbox covers (lateral sequence), points carry
+# one cell, candidates come from a hash equi-join on (cx, cy) and the exact
+# containment predicate reranks — the "broadcast-or-partitioned
+# point-in-polygon hash join" shape of the north rule, which survives a
+# polygon side too big to broadcast.
+def _pip_join_sql(d: str) -> str:
+    cxs = _lat_seq(d, "CAST(FLOOR(xmin / 32.0) AS BIGINT)",
+                   "CAST(FLOOR(xmax / 32.0) AS BIGINT)", "cxs", "cx")
+    cys = _lat_seq(d, "CAST(FLOOR(ymin / 32.0) AS BIGINT)",
+                   "CAST(FLOOR(ymax / 32.0) AS BIGINT)", "cys", "cy")
+    return f"""
 WITH poly AS (
   SELECT n_nationkey AS poly_id,
          n_nationkey * 7.0 AS xmin, n_nationkey * 5.0 AS ymin,
          n_nationkey * 7.0 + 40 AS xmax, n_nationkey * 5.0 + 35 AS ymax
   FROM nation
+), poly_cells AS (
+  SELECT poly_id, xmin, ymin, xmax, ymax, cx, cy FROM poly{cxs}{cys}
 ), pts AS (
-  SELECT c_custkey, (c_custkey % 211) * 1.0 AS x, (c_custkey % 173) * 1.0 AS y
+  SELECT c_custkey, (c_custkey % 211) * 1.0 AS x,
+         (c_custkey % 173) * 1.0 AS y,
+         CAST(FLOOR((c_custkey % 211) / 32.0) AS BIGINT) AS cx,
+         CAST(FLOOR((c_custkey % 173) / 32.0) AS BIGINT) AS cy
   FROM customer
 )
 SELECT p.poly_id, CAST(COUNT(*) AS BIGINT) AS n_inside,
        CAST(MIN(c_custkey) AS BIGINT) AS first_pt
-FROM poly p JOIN pts
-  ON pts.x >= p.xmin AND pts.x < p.xmax AND pts.y >= p.ymin AND pts.y < p.ymax
+FROM poly_cells p JOIN pts
+  ON pts.cx = p.cx AND pts.cy = p.cy
+WHERE pts.x >= p.xmin AND pts.x < p.xmax
+  AND pts.y >= p.ymin AND pts.y < p.ymax
 GROUP BY p.poly_id
 """
 
 # §2.2 tile x ROI pruning — bbox intersection semi-join
-# (tree_detection.R:103-111).
-_TILE_PRUNE = """
+# (tree_detection.R:103-111). GRID-BUCKETED: both bbox sides expand to
+# their covered 512-unit cells, overlap candidates come from a cell
+# equi-join (overlapping boxes always share a covered cell), the exact
+# bbox predicate reranks, DISTINCT restores semi-join semantics.
+def _tile_prune_sql(d: str) -> str:
+    def cells(pfx: str) -> str:
+        return (_lat_seq(d, "CAST(FLOOR(xmin / 512.0) AS BIGINT)",
+                         "CAST(FLOOR(xmax / 512.0) AS BIGINT)",
+                         f"{pfx}cxs", "cx")
+                + _lat_seq(d, "CAST(FLOOR(ymin / 512.0) AS BIGINT)",
+                           "CAST(FLOOR(ymax / 512.0) AS BIGINT)",
+                           f"{pfx}cys", "cy"))
+    return f"""
 WITH tiles AS (
   SELECT o_orderkey AS tile_id,
          (o_orderkey % 100) * 32.0 AS xmin, (o_orderkey % 50) * 32.0 AS ymin,
@@ -263,12 +308,16 @@ WITH tiles AS (
          r_regionkey * 300.0 AS ymin, r_regionkey * 600.0 + 700 AS xmax,
          r_regionkey * 300.0 + 500 AS ymax
   FROM region
+), tile_cells AS (
+  SELECT tile_id, xmin, ymin, xmax, ymax, cx, cy FROM tiles{cells('t')}
+), roi_cells AS (
+  SELECT xmin AS rxmin, ymin AS rymin, xmax AS rxmax, ymax AS rymax, cx, cy
+  FROM roi{cells('r')}
 )
-SELECT t.tile_id
-FROM tiles t
-WHERE EXISTS (SELECT 1 FROM roi r
-              WHERE t.xmin < r.xmax AND t.xmax > r.xmin
-                AND t.ymin < r.ymax AND t.ymax > r.ymin)
+SELECT DISTINCT t.tile_id
+FROM tile_cells t JOIN roi_cells r ON t.cx = r.cx AND t.cy = r.cy
+WHERE t.xmin < r.rxmax AND t.xmax > r.rxmin
+  AND t.ymin < r.rymax AND t.ymax > r.rymin
 """
 
 # Dedup: exact duplicate groups by content hash (md5 identical across
@@ -415,7 +464,19 @@ FROM customer WHERE c_custkey <= 500
 # §2.3 raster_xy_mask (common.R:406-431): per-cell max of
 # sqrt(max(0, buff^2 - d^2)) over buffered points — a distance join +
 # group-by max. Cells come from the events grid; points from nation.
-_XY_MASK = """
+# GRID-BUCKETED: each point expands to the superset of 2-unit cells its
+# buffer can reach (lateral sequence over a per-point bound), candidates
+# come from a cell equi-join, the exact |center - p| <= buff predicate
+# reranks. Replaces the range-predicate nested loop; the MAX aggregate is
+# duplicate-safe (each point contributes one row per cell).
+def _xy_mask_sql(d: str) -> str:
+    cxs = _lat_seq(d, "CAST(FLOOR((px - buff) / 2.0) AS BIGINT) - 1",
+                   "CAST(FLOOR((px + buff) / 2.0) AS BIGINT) + 1",
+                   "cxs", "cx")
+    cys = _lat_seq(d, "CAST(FLOOR((py - buff) / 2.0) AS BIGINT) - 1",
+                   "CAST(FLOOR((py + buff) / 2.0) AS BIGINT) + 1",
+                   "cys", "cy")
+    return f"""
 WITH cells AS (
   SELECT DISTINCT CAST(FLOOR(value / 2.0) AS BIGINT) AS cx,
          CAST(FLOOR(CAST(user_id AS DOUBLE) / 2.0) AS BIGINT) AS cy
@@ -424,13 +485,15 @@ WITH cells AS (
   SELECT n_nationkey AS pid, (n_nationkey * 3.0) AS px,
          (n_nationkey * 2.0) AS py, 10.0 + (n_nationkey % 5) AS buff
   FROM nation
+), pt_cells AS (
+  SELECT pid, px, py, buff, cx, cy FROM pts{cxs}{cys}
 )
 SELECT c.cx, c.cy,
        ROUND(MAX(SQRT(GREATEST(0.0, buff*buff -
              ((c.cx*2.0+1.0 - px)*(c.cx*2.0+1.0 - px) +
               (c.cy*2.0+1.0 - py)*(c.cy*2.0+1.0 - py))))), 6) AS mask_val
-FROM cells c JOIN pts
-  ON ABS(c.cx*2.0+1.0 - px) <= buff AND ABS(c.cy*2.0+1.0 - py) <= buff
+FROM cells c JOIN pt_cells p ON c.cx = p.cx AND c.cy = p.cy
+WHERE ABS(c.cx*2.0+1.0 - px) <= buff AND ABS(c.cy*2.0+1.0 - py) <= buff
 GROUP BY c.cx, c.cy
 """
 
@@ -497,7 +560,13 @@ WITH metrics AS (
                    / n_o), 6) AS str_var
   FROM strat
 )
-SELECT base.*, str_est.* FROM base CROSS JOIN str_est
+SELECT (SELECT srs_mean FROM base) AS srs_mean,
+       (SELECT srs_var FROM base) AS srs_var,
+       (SELECT ed_mean FROM base) AS ed_mean,
+       (SELECT n_obs FROM base) AS n_obs,
+       (SELECT n_pred FROM base) AS n_pred,
+       (SELECT str_mean FROM str_est) AS str_mean,
+       (SELECT str_var FROM str_est) AS str_var
 """
 
 # §2.3 clean_raster (aba.R:861-877): clamp to [min,max], NA->0, apply mask.
@@ -535,15 +604,23 @@ _SHINGLES_DUCK = """
 """
 
 
-def _minhash_sql(shingles: str) -> str:
+def _lat_seq(dialect: str, lo: str, hi: str, tab: str, col: str) -> str:
+    """Correlated integer-sequence lateral expansion — the dialect pair that
+    replaces tiny constant CROSS JOINs (which Spark plans as
+    BroadcastNestedLoopJoin) with a generator: no join operator at all."""
+    if dialect == "spark":
+        return f" LATERAL VIEW explode(sequence({lo}, {hi})) {tab} AS {col}"
+    return f", UNNEST(generate_series({lo}, {hi})) {tab}({col})"
+
+
+def _minhash_sql(shingles: str, dialect: str) -> str:
+    bands = _lat_seq(dialect, "0", "3", "bands", "b")
     return f"""
 WITH shingles AS ({shingles}),
 sig AS (
   SELECT doc_id, b,
          MIN(md5(CONCAT(CAST(b AS STRING), '|', shingle))) AS band_sig
-  FROM shingles
-  CROSS JOIN (SELECT 0 AS b UNION ALL SELECT 1 UNION ALL
-              SELECT 2 UNION ALL SELECT 3) bands
+  FROM shingles{bands}
   GROUP BY doc_id, b
 )
 SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
@@ -583,8 +660,7 @@ WITH toks AS (
   SELECT doc_id, i,
          SUM(CASE WHEN SUBSTR(md5(tok), i + 1, 1) IN
                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
-  FROM toks
-  CROSS JOIN (SELECT explode(sequence(0, 31)) AS i)
+  FROM toks LATERAL VIEW explode(sequence(0, 31)) it AS i
   GROUP BY doc_id, i
 )
 SELECT doc_id,
@@ -601,8 +677,7 @@ WITH toks AS (
   SELECT doc_id, i,
          SUM(CASE WHEN SUBSTR(md5(tok), i + 1, 1) IN
                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS s
-  FROM toks
-  CROSS JOIN (SELECT UNNEST(generate_series(0, 31)) AS i)
+  FROM toks, UNNEST(generate_series(0, 31)) it(i)
   GROUP BY doc_id, i
 )
 SELECT doc_id,
@@ -692,14 +767,13 @@ FROM ranked WHERE rk <= 5
 # check pins the semantics either way. At corpus scale this is the
 # standard simhash dedup join: one shuffle on the band key instead of an
 # O(n^2) cross. Integer-exact end-to-end.
-def _simhash_neardup(simhash_sql: str, bitcount: str) -> str:
+def _simhash_neardup(simhash_sql: str, bitcount: str, dialect: str) -> str:
+    bs = _lat_seq(dialect, "0", "3", "bs", "b")
     return f"""
 WITH sh AS ({simhash_sql}),
 bands AS (
   SELECT doc_id, simhash, b, (simhash >> (8 * b)) & 255 AS band_val
-  FROM sh
-  CROSS JOIN (SELECT 0 AS b UNION ALL SELECT 1 UNION ALL
-              SELECT 2 UNION ALL SELECT 3) bs
+  FROM sh{bs}
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
          a.simhash AS ha, c.simhash AS hb
@@ -714,9 +788,9 @@ WHERE {bitcount} <= 8
 
 
 _SIMHASH_ND_SPARK = _simhash_neardup(
-    "%%SIMHASH%%", "bit_count(ha ^ hb)")
+    "%%SIMHASH%%", "bit_count(ha ^ hb)", "spark")
 _SIMHASH_ND_DUCK = _simhash_neardup(
-    "%%SIMHASH%%", "bit_count(CAST(xor(ha, hb) AS BIGINT))")
+    "%%SIMHASH%%", "bit_count(CAST(xor(ha, hb) AS BIGINT))", "duck")
 
 
 # Skew-salted cell join (north rule: salted shuffles on (cell_id, tile_id)):
@@ -1107,16 +1181,10 @@ _SHARED = {
     "boxcox_transforms": _BOXCOX,
     "aba_metrics": _ABA_METRICS,
     "std_tree_metrics": _STD_TREE_METRICS,
-    "matching_mutual_nn": _MUTUAL_NN,
-    "hist_detection": _HIST_DETECTION,
-    "height_regression": _HEIGHT_REGRESSION,
-    "pip_join": _PIP_JOIN,
-    "tile_prune_roi": _TILE_PRUNE,
     "exact_dedup": _EXACT_DEDUP,
     "text_quality": _TEXT_QUALITY,
     "terrain_plane_fit": _TERRAIN_PLANE,
     "polar2projected": _POLAR2PROJ,
-    "raster_xy_mask": _XY_MASK,
     "hist_stack": _HIST_STACK,
     "aba_predict": _ABA_PREDICT,
     "aba_inference": _ABA_INFERENCE,
@@ -1125,14 +1193,23 @@ _SHARED = {
 
 _DIALECT = {
     # name: (spark_sql_or_fn, duck_sql)
+    # grid-bucketed spatial joins: same skeleton, lateral-sequence dialect
+    "matching_mutual_nn": (_mutual_nn_sql("spark"), _mutual_nn_sql("duck")),
+    "hist_detection": (_hist_detection_sql("spark"),
+                       _hist_detection_sql("duck")),
+    "height_regression": (_height_regression_sql("spark"),
+                          _height_regression_sql("duck")),
+    "pip_join": (_pip_join_sql("spark"), _pip_join_sql("duck")),
+    "tile_prune_roi": (_tile_prune_sql("spark"), _tile_prune_sql("duck")),
+    "raster_xy_mask": (_xy_mask_sql("spark"), _xy_mask_sql("duck")),
     "aba_quantiles": (_ABA_QUANTILES_SPARK, _ABA_QUANTILES_DUCK),
     "langid_heuristic": (_LANGID_SPARK, _LANGID_DUCK),
     "doc_fingerprint": (_FINGERPRINT_SPARK, _FINGERPRINT_DUCK),
     "embedding_topk": (_topk_spark, _TOPK_DUCK),
     "species_dim_join": (_SPECIES_JOIN_SPARK, _SPECIES_JOIN_DUCK),
-    "minhash_lsh": (_minhash_sql(_SHINGLES_SPARK),
-                    _minhash_sql(_SHINGLES_DUCK).replace("AS STRING",
-                                                         "AS VARCHAR")),
+    "minhash_lsh": (_minhash_sql(_SHINGLES_SPARK, "spark"),
+                    _minhash_sql(_SHINGLES_DUCK, "duck")
+                    .replace("AS STRING", "AS VARCHAR")),
     "ngram_jaccard": (_jaccard_sql(_SHINGLES_SPARK),
                       _jaccard_sql(_SHINGLES_DUCK)),
     "simhash": (_SIMHASH_SPARK, _SIMHASH_DUCK),
@@ -1333,37 +1410,95 @@ def _edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         run, schema="tile int, edges_inside long, edges_outside long")
 
 
+# raster_chull_mask (common.R:459-472) with a REAL DuckDB oracle. Points
+# come from `events` by identical arithmetic in both engines; Spark runs
+# the actual kernels (monotone-chain convex_hull + ray-casting
+# points_in_polygon over the 64x64 cell-center grid); DuckDB re-derives the
+# SAME result relationally:
+#   - hull edges: directed pair (a, b) is a CCW hull edge iff every other
+#     point r is strictly left — cross(a,b,r) > 0 for all r (O(n^3) per
+#     tile, n <= ~20, and the cross formula is byte-identical to the
+#     kernel's, so the float signs agree);
+#   - cell membership: the SAME ray-cast parity formula per (cell, edge) —
+#     crossings % 2 — not a different geometric test, so near-boundary
+#     cells cannot diverge between engines.
+_CHULL_PTS_SQL = """
+  SELECT DISTINCT CAST(user_id % 16 AS INT) AS t,
+         CAST(event_id % 57 AS DOUBLE) / 2.0 + value / 1000 AS x,
+         CAST(CAST(FLOOR(event_id / 57.0) AS BIGINT) % 53 AS DOUBLE) / 2.0
+             + value / 997 AS y
+  FROM events WHERE event_id % 37 = 0
+"""
+
+
+def _chull_mask_duck() -> str:
+    return f"""
+WITH pts0 AS ({_CHULL_PTS_SQL}),
+pts AS (
+  SELECT * FROM pts0
+  WHERE t IN (SELECT t FROM pts0 GROUP BY t HAVING COUNT(*) >= 3)
+),
+edges AS (
+  SELECT a.t, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM pts a JOIN pts b ON a.t = b.t AND (a.x != b.x OR a.y != b.y)
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts r
+    WHERE r.t = a.t AND (r.x != a.x OR r.y != a.y)
+      AND (r.x != b.x OR r.y != b.y)
+      AND (b.x - a.x) * (r.y - a.y) - (b.y - a.y) * (r.x - a.x) <= 0)
+), grid AS (
+  SELECT t, (CAST(j AS DOUBLE) + 0.5) * 0.5 AS cx,
+         (CAST(i AS DOUBLE) + 0.5) * 0.5 AS cy
+  FROM (SELECT DISTINCT t FROM edges) tiles,
+       UNNEST(generate_series(0, 63)) ii(i),
+       UNNEST(generate_series(0, 63)) jj(j)
+), crossings AS (
+  SELECT g.t, g.cx, g.cy, COUNT(*) AS k
+  FROM grid g JOIN edges e ON e.t = g.t
+  WHERE ((e.y1 > g.cy) != (e.y2 > g.cy))
+    AND g.cx < (e.x2 - e.x1) * (g.cy - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY g.t, g.cx, g.cy
+)
+SELECT e.t AS tile,
+       CAST(COALESCE(m.n, 0) AS BIGINT) AS mask_cells,
+       CAST(COUNT(*) AS BIGINT) AS hull_pts
+FROM edges e
+LEFT JOIN (SELECT t, COUNT(*) AS n FROM crossings WHERE k % 2 = 1
+           GROUP BY t) m ON m.t = e.t
+GROUP BY e.t, m.n
+"""
+
+
 def _chull_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """raster_chull_mask (common.R:459-472): per-tile convex hull of the
-    inventory positions rasterized to a mask; returns mask cell counts."""
+    """raster_chull_mask: per-tile convex hull of a point set rasterized to
+    a 64x64 mask; Spark side = the real geometry kernels, oracle =
+    relational hull + identical ray cast (_chull_mask_duck)."""
     import pandas as pd
 
-    from lidartree_spark.operators.tiles import synthetic_ref_trees
+    load_views(spark, sf_dir)
+    pts = spark.sql(_CHULL_PTS_SQL)
 
     def run(key, pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
-        from lidartree_spark.generator import tile_origin
         from lidartree_spark.kernels.geometry import (
             convex_hull,
             points_in_polygon,
         )
         if len(pdf) < 3:
-            return pd.DataFrame(columns=["image_id", "mask_cells",
-                                         "hull_pts"])
-        row = int(key[0][1:5]); col = int(key[0][6:10])
-        x0, y1 = tile_origin(row, col)
+            return pd.DataFrame(columns=["tile", "mask_cells", "hull_pts"])
         ring = convex_hull(pdf[["x", "y"]].to_numpy())
+        if len(ring) - 1 < 3:
+            return pd.DataFrame(columns=["tile", "mask_cells", "hull_pts"])
         jj, ii = np.meshgrid(np.arange(64), np.arange(64))
-        cx = x0 + (jj + 0.5) * 0.5
-        cy = y1 - (ii + 0.5) * 0.5
+        cx = (jj + 0.5) * 0.5
+        cy = (ii + 0.5) * 0.5
         inside = points_in_polygon(cx.ravel(), cy.ravel(), ring)
-        return pd.DataFrame([{"image_id": key[0],
+        return pd.DataFrame([{"tile": int(key[0]),
                               "mask_cells": int(inside.sum()),
                               "hull_pts": int(len(ring) - 1)}])
 
-    ref = synthetic_ref_trees(spark, 4, 4)
-    return ref.groupBy("image_id").applyInPandas(
-        run, schema="image_id string, mask_cells long, hull_pts long")
+    return pts.groupBy("t").applyInPandas(
+        run, schema="tile int, mask_cells long, hull_pts long")
 
 
 _NO_ORACLE = {
@@ -1383,12 +1518,12 @@ _NO_ORACLE = {
     "points_to_tiles_detect": _points_to_tiles,
     "points2dtm_normalize_detect": _points2dtm_normalize_detect,
     "clouds_tree_metrics": _tree_metrics,
-    "raster_chull_mask": _chull_mask,
     "gap_detection_reconstruct": _gap_detect_reconstruct,
 }
 
 _DIALECT["edge_detection_stats"] = (_edge_stats, _EDGE_STATS_DUCK)
 _DIALECT["tree_match_oracle"] = (_tree_match_oracle, _TM_ORACLE_DUCK)
+_DIALECT["raster_chull_mask"] = (_chull_mask, _chull_mask_duck())
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -189,6 +189,22 @@ def test_audio_video_plumbing(spark):
     assert frames.thumb.map(len).eq(64).all()
 
 
+def test_video_frame_sample_decodes_real_avi(spark):
+    """fmt == 'avi' thumbnails come from the actual Motion-JPEG payload:
+    they approximate thumbnails computed straight from the source frames."""
+    media = synthetic_media(spark, 12).where("kind = 'video'")
+    got = video_frame_sample(media, every=4, resize_to=8).toPandas()
+    rows = media.select("media_id", "n_frames").collect()
+    for r in rows:
+        src = FakeDecoder.video(r.media_id, 16, 12, r.n_frames)
+        for idx in range(0, r.n_frames, 4):
+            expect = resize_bilinear(src[idx][..., None], 8, 8).ravel()
+            thumb = np.array(got[(got.media_id == r.media_id)
+                                 & (got.frame_idx == idx)].thumb.iloc[0])
+            # jpeg-lossy path: close, not identical
+            assert np.abs(thumb - expect).max() < 0.05
+
+
 def test_checkpoint_resume(spark, tmp_path):
     calls = {"a": 0, "b": 0}
 
