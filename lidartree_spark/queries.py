@@ -1526,6 +1526,94 @@ _DIALECT["tree_match_oracle"] = (_tree_match_oracle, _TM_ORACLE_DUCK)
 _DIALECT["raster_chull_mask"] = (_chull_mask, _chull_mask_duck())
 
 
+# --- Structured Streaming gates: the STREAM's result (memory sink,
+# availableNow) is compared against a plain batch SQL oracle — on bounded
+# input a correct streaming aggregation must equal the batch answer.
+
+def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str:
+    """Copy events.parquet into a temp dir (file-source streams read
+    directories); n_files > 1 splits it so maxFilesPerTrigger can force
+    multiple micro-batches."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+    d = tempfile.mkdtemp(prefix="lidartree_stream_src_")
+    if n_files == 1:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
+    else:
+        pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+        step = (len(pdf) + n_files - 1) // n_files
+        for i in range(n_files):
+            pdf.iloc[i * step:(i + 1) * step].to_parquet(
+                f"{d}/part-{i}.parquet", index=False)
+    return d
+
+
+def _streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked event-time windowed aggregation, run as a real stream
+    (file source -> complete-mode memory sink, availableNow trigger)."""
+    import uuid
+
+    from lidartree_spark.streaming.ops import (
+        stream_events,
+        windowed_event_stats,
+    )
+    src = _stage_events(spark, sf_dir)
+    name = "win_" + uuid.uuid4().hex[:12]
+    q = (windowed_event_stats(stream_events(spark, src))
+         .writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_STREAM_WINDOWED_DUCK = """
+SELECT CAST(FLOOR(EPOCH(ts) / 21600) * 21600 AS BIGINT) AS window_start,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def _streaming_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) over three forced
+    micro-batches; the final cumulative per-user state must equal the batch
+    GROUP BY — the oracle only matches if state really carried across
+    batch boundaries."""
+    import uuid
+
+    from lidartree_spark.streaming.ops import (
+        running_user_totals,
+        stream_events,
+    )
+    src = _stage_events(spark, sf_dir, n_files=3)
+    name = "tot_" + uuid.uuid4().hex[:12]
+    q = (running_user_totals(stream_events(spark, src,
+                                           max_files_per_trigger=1))
+         .writeStream.format("memory").queryName(name)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    # update mode appends one row per (user, batch); the final state is the
+    # row with the highest running count
+    return (spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max("n").cast("long").alias("n"),
+                 F.round(F.max_by("total", "n"), 6).alias("total")))
+
+
+_STREAM_TOTALS_DUCK = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS total
+FROM events GROUP BY user_id
+"""
+
+_DIALECT["streaming_windowed_events"] = (_streaming_windowed,
+                                         _STREAM_WINDOWED_DUCK)
+_DIALECT["streaming_running_totals"] = (_streaming_totals,
+                                        _STREAM_TOTALS_DUCK)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SHARED.items():

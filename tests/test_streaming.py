@@ -1,0 +1,100 @@
+"""Structured Streaming: stream==batch parity, checkpoint-resume
+exactly-once, watermarked windowed aggregation, stateful operator state
+across micro-batches."""
+
+import glob
+import shutil
+
+import pandas as pd
+import pytest
+
+from lidartree_spark.streaming.ops import (
+    running_user_totals,
+    stream_detect_to_parquet,
+    stream_events,
+    stream_tiles,
+    windowed_event_stats,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events_src"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_stream_detect_matches_batch_and_resumes(spark, tmp_path):
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.operators.tiles import synthetic_tiles
+
+    src = tmp_path / "tiles_src"
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    synthetic_tiles(spark, 3, 3).write.parquet(str(src))
+
+    stream_detect_to_parquet(stream_tiles(spark, str(src)), sink, ckpt)
+    got = spark.read.parquet(sink)
+    batch = detect_trees(spark.read.parquet(str(src)))
+    key = lambda r: (r.image_id, r.id)  # noqa: E731
+    assert sorted(map(key, got.collect())) == \
+        sorted(map(key, batch.collect()))
+
+    # resume with the same checkpoint: all source files are already in the
+    # file-source log, so the second run commits nothing (exactly-once)
+    n_before = got.count()
+    stream_detect_to_parquet(stream_tiles(spark, str(src)), sink, ckpt)
+    assert spark.read.parquet(sink).count() == n_before
+
+
+def test_windowed_stats_stream_equals_batch(spark, events_dir):
+    q = (windowed_event_stats(stream_events(spark, events_dir))
+         .writeStream.format("memory").queryName("ws_eq")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    stream_rows = {tuple(r) for r in spark.table("ws_eq").collect()}
+    batch_rows = {tuple(r) for r in
+                  windowed_event_stats(spark.read.parquet(events_dir))
+                  .collect()}
+    assert stream_rows == batch_rows
+    assert len(stream_rows) > 10
+
+
+def test_running_totals_state_survives_batch_boundary(spark, tmp_path):
+    """Split the source into two files and force one file per micro-batch:
+    the per-user totals after batch 2 must include batch 1's state."""
+    src = tmp_path / "ev2"
+    src.mkdir()
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    half = len(pdf) // 2
+    pdf.iloc[:half].to_parquet(src / "a.parquet", index=False)
+    pdf.iloc[half:].to_parquet(src / "b.parquet", index=False)
+
+    ev = stream_events(spark, str(src), max_files_per_trigger=1)
+    q = (running_user_totals(ev)
+         .writeStream.format("memory").queryName("rt_state")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination()
+    out = spark.table("rt_state").toPandas()
+    # update mode appends one row per user per batch; the running maximum
+    # count per user is the final cumulative state
+    final = out.groupby("user_id").n.max()
+    expect = pdf.groupby("user_id").size()
+    assert final.sort_index().tolist() == expect.sort_index().tolist()
+    # at least one user appears in both batches (state actually carried)
+    assert (out.groupby("user_id").size() > 1).any()
+
+
+def test_streaming_checkpoint_layout(spark, tmp_path):
+    """The checkpoint directory carries the file-source log + commits —
+    the artifacts that make a killed run resumable."""
+    from lidartree_spark.operators.tiles import synthetic_tiles
+    src, sink, ckpt = (tmp_path / "s"), str(tmp_path / "k"), \
+        str(tmp_path / "c")
+    synthetic_tiles(spark, 2, 2).write.parquet(str(src))
+    stream_detect_to_parquet(stream_tiles(spark, str(src)), sink, ckpt)
+    assert glob.glob(f"{ckpt}/sources/0/*")
+    assert glob.glob(f"{ckpt}/commits/*")
