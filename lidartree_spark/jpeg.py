@@ -172,7 +172,7 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
     qtbl = quality_qtbl(quality)
     blocks, _, _ = _blocks(a)
     f = blocks.astype(np.float64) - 128.0
-    coefs = np.einsum("ux,nxy,vy->nuv", _T, f, _T)
+    coefs = _T @ f @ _T.T  # batched matmul FDCT
     quant = np.round(coefs / qtbl[None, :, :]).astype(np.int32)
     zz = quant.reshape(-1, 64)[:, _ZZ]
 
@@ -221,57 +221,62 @@ def encode_jpeg_gray(img: np.ndarray, quality: int = 90) -> bytes:
             + scan + b"\xff\xd9")
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
-
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG scan truncated")
-            byte = self.data[self.pos]
-            self.pos += 1
-            if byte == 0xFF:
-                # stuffed zero follows data 0xFF; a marker here is an error
-                # for this no-restart subset
-                if self.pos < len(self.data) and self.data[self.pos] == 0x00:
-                    self.pos += 1
-                else:
-                    raise ValueError("unexpected marker inside scan")
-            self.acc = byte
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
-        return v
+_LUT_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
 
 
-def _decode_tables(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    return {(ln, code): sym
-            for sym, (code, ln) in _canonical_codes(bits, vals).items()}
+def _decode_tables(bits: list[int], vals: list[int]) -> tuple[list[int],
+                                                              list[int]]:
+    """Table-driven Huffman: (length, symbol) LUTs over every 16-bit
+    window — one list index decodes a whole symbol instead of a per-bit
+    loop. Cached by table spec (every image with the standard Annex K
+    tables shares one build); plain python lists because the hot loop
+    indexes them ~500x per tile and list indexing beats numpy scalar
+    access there."""
+    key = bytes(bits) + bytes(vals)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lens = np.zeros(1 << 16, dtype=np.int64)
+    syms = np.zeros(1 << 16, dtype=np.int64)
+    for sym, (code, ln) in _canonical_codes(bits, vals).items():
+        lo = code << (16 - ln)
+        hi = (code + 1) << (16 - ln)
+        lens[lo:hi] = ln
+        syms[lo:hi] = sym
+    out = (lens.tolist(), syms.tolist())
+    _LUT_CACHE[key] = out
+    return out
 
 
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for ln in range(1, 17):
-        code = (code << 1) | br.bit()
-        sym = table.get((ln, code))
-        if sym is not None:
-            return sym
-    raise ValueError("bad Huffman code")
+def _extract_scan(raw: bytes) -> bytes:
+    """Entropy-coded bytes up to the next marker, 0xFF00 unstuffed."""
+    i = 0
+    while True:
+        j = raw.find(b"\xff", i)
+        if j == -1 or j + 1 >= len(raw):
+            end = len(raw)
+            break
+        if raw[j + 1] == 0x00:
+            i = j + 2
+            continue
+        end = j
+        break
+    return raw[:end].replace(b"\xff\x00", b"\xff")
 
 
-def _extend(bits: int, ssss: int) -> int:
-    if ssss == 0:
-        return 0
-    return bits if bits >= (1 << (ssss - 1)) else bits - (1 << ssss) + 1
+def _bit_windows(scan: bytes) -> np.ndarray:
+    """V[p] = the 16 bits starting at bit position p, with 16 zero-padded
+    tail positions so value-bit reads right at the data end cannot
+    overrun (the per-symbol truncation checks still fire on the NEXT
+    symbol start)."""
+    b = np.frombuffer(scan + b"\x00\x00\x00\x00", dtype=np.uint8) \
+        .astype(np.uint32)
+    w24 = (b[:-2] << 16) | (b[1:-1] << 8) | b[2:]  # 24 bits from byte i
+    p = np.arange(len(scan) * 8 + 16, dtype=np.int64)
+    return (((w24[p >> 3] << (p & 7).astype(np.uint32)) >> 8)
+            & 0xFFFF).astype(np.uint16)
+
+
 
 
 def decode_jpeg_gray(buf: bytes) -> np.ndarray:
@@ -335,20 +340,42 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray:
     if h is None or scan_start is None:
         raise ValueError("missing SOF0/SOS")
     qtbl = qtbls[qsel]
-    dct = htbls[(0, dcsel)]
-    act = htbls[(1, acsel)]
+    dc_len, dc_sym = htbls[(0, dcsel)]
+    ac_len, ac_sym = htbls[(1, acsel)]
 
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    br = _BitReader(buf[scan_start:])
-    zz = np.zeros((bh * bw_, 64), dtype=np.int32)
+    scan = _extract_scan(buf[scan_start:])
+    win = _bit_windows(scan).tolist()  # python ints: hot-loop indexing
+    nbits = len(win) - 16  # exclude the zero-padding tail
+    nblk = bh * bw_
+    flat = [0] * (nblk * 64)  # zigzag-order coefficients, all blocks
     pred = 0
-    for n in range(bh * bw_):
-        ssss = _read_symbol(br, dct)
-        pred += _extend(br.bits(ssss), ssss)
-        zz[n, 0] = pred
+    pos = 0
+    for n in range(nblk):
+        if pos >= nbits:
+            raise ValueError("JPEG scan truncated")
+        wv = win[pos]
+        ln = dc_len[wv]
+        if ln == 0:
+            raise ValueError("bad Huffman code")
+        ssss = dc_sym[wv]
+        pos += ln
+        if ssss:
+            v = win[pos] >> (16 - ssss)
+            pred += v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+            pos += ssss
+        base = n * 64
+        flat[base] = pred
         k = 1
         while k < 64:
-            sym = _read_symbol(br, act)
+            if pos >= nbits:
+                raise ValueError("JPEG scan truncated")
+            wv = win[pos]
+            ln = ac_len[wv]
+            if ln == 0:
+                raise ValueError("bad Huffman code")
+            sym = ac_sym[wv]
+            pos += ln
             if sym == 0x00:  # EOB
                 break
             run, ssss = sym >> 4, sym & 0x0F
@@ -360,11 +387,15 @@ def decode_jpeg_gray(buf: bytes) -> np.ndarray:
             k += run
             if k >= 64:
                 raise ValueError("AC coefficient overrun")
-            zz[n, k] = _extend(br.bits(ssss), ssss)
+            v = win[pos] >> (16 - ssss)
+            flat[base + k] = v if v >= (1 << (ssss - 1)) \
+                else v - (1 << ssss) + 1
+            pos += ssss
             k += 1
+    zz = np.asarray(flat, dtype=np.int32).reshape(nblk, 64)
     coefs = (zz[:, _UNZZ].reshape(-1, 8, 8) * qtbl[None, :, :]) \
         .astype(np.float64)
-    f = np.einsum("xu,nuv,yv->nxy", _T.T, coefs, _T.T) + 128.0
+    f = (_T.T @ coefs @ _T) + 128.0  # batched matmul IDCT
     out = (f.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3)
            .reshape(bh * 8, bw_ * 8))
     return np.clip(np.round(out), 0, 255).astype(np.uint8)[:h, :w]
