@@ -1501,6 +1501,232 @@ def _chull_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         run, schema="tile int, mask_cells long, hull_pts long")
 
 
+# points2DSM -> tile assembly -> codec roundtrip with a REAL DuckDB oracle.
+# Points derive from `events` by identical arithmetic in both engines; Spark
+# runs the real distributed pipeline (cell-key shuffle -> applyInPandas tile
+# assembly -> raw_f32 decode -> REAL ISO-15948 PNG gray16 encode/decode ->
+# REAL baseline-JPEG encode/decode) and emits integer-exact per-tile stats;
+# DuckDB re-derives the same stats straight from the cell grid. The
+# position-weighted sums (z*px, z*row-from-top) pin the exact pixel layout
+# including the vertical flip in points_to_tiles. z is integer-valued and
+# <= 34, so the raw_f32 and PNG roundtrips are EXACT; JPEG is lossy and is
+# gated by the north-rule per-row invariant instead (PSNR >= 40 dB, emitted
+# as a boolean the oracle requires TRUE — measured worst tile 42.9 dB at
+# sf0.01, 46.9 at sf0.1).
+_RT_PTS_SQL = """
+  SELECT CAST(event_id % 192 AS DOUBLE) * 0.5 AS x,
+         CAST(CAST(FLOOR(event_id / 192.0) AS BIGINT) % 128 AS DOUBLE)
+             * 0.5 AS y,
+         CAST(10 + event_id % 25 AS DOUBLE) AS z
+  FROM events
+"""
+
+_RT_DUCK = """
+WITH pts AS (
+  SELECT event_id % 192 AS cx,
+         CAST(FLOOR(event_id / 192.0) AS BIGINT) % 128 AS cy,
+         10 + event_id % 25 AS z
+  FROM events
+), cells AS (
+  SELECT cx, cy, MAX(z) AS z FROM pts GROUP BY cx, cy
+), placed AS (
+  SELECT CAST(FLOOR(cy / 64.0) AS BIGINT) AS trow,
+         CAST(FLOOR(cx / 64.0) AS BIGINT) AS tcol,
+         cx % 64 AS px, 63 - (cy % 64) AS ai, z
+  FROM cells
+)
+SELECT printf('t%04d_%04d', trow, tcol) AS image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(z) AS BIGINT) AS sum_z,
+       CAST(MAX(z) AS BIGINT) AS max_z,
+       CAST(SUM(z * px) AS BIGINT) AS sum_zx,
+       CAST(SUM(z * ai) AS BIGINT) AS sum_zi,
+       TRUE AS png_exact,
+       TRUE AS jpeg_psnr40
+FROM placed
+GROUP BY trow, tcol
+"""
+
+
+def _tiles_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """points2DSM tile assembly + real-codec roundtrip, oracle-checked
+    (_RT_DUCK). Covers common.R:53-70 cell semantics plus the PNG/JPEG
+    codecs end-to-end against an engine that never decodes a byte."""
+    import pandas as pd
+
+    from lidartree_spark.operators.rasterize import points_to_tiles
+
+    load_views(spark, sf_dir)
+    tiles = points_to_tiles(spark.sql(_RT_PTS_SQL), res=0.5, tile_px=64)
+
+    def stats(batches):
+        import numpy as np
+        from lidartree_spark.codecs import (
+            decode_jpeg_tile,
+            decode_png_gray16,
+            decode_tile,
+            encode_jpeg_tile,
+            encode_png_gray16,
+            psnr,
+        )
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                a = decode_tile(rec.bytes, rec.fmt, rec.w, rec.h)
+                filled = np.nan_to_num(a, nan=0.0).astype(np.float32)
+                png = decode_png_gray16(encode_png_gray16(filled))
+                jpg = decode_jpeg_tile(encode_jpeg_tile(filled))
+                m = filled > 0  # real cells carry z >= 10; empty -> 0
+                ii, jj = np.nonzero(m)
+                z = png[m].astype(np.float64)  # stats READ the png roundtrip
+                out.append({
+                    "image_id": rec.image_id,
+                    "n_cells": int(m.sum()),
+                    "sum_z": int(round(z.sum())),
+                    "max_z": int(round(z.max())) if z.size else 0,
+                    "sum_zx": int(round((z * jj).sum())),
+                    "sum_zi": int(round((z * ii).sum())),
+                    "png_exact": bool(np.array_equal(png, filled)),
+                    "jpeg_psnr40": bool(psnr(filled, jpg) >= 40.0),
+                })
+            yield pd.DataFrame(out, columns=[
+                "image_id", "n_cells", "sum_z", "max_z", "sum_zx", "sum_zi",
+                "png_exact", "jpeg_psnr40"])
+
+    return tiles.mapInPandas(
+        stats, schema=("image_id string, n_cells long, sum_z long, "
+                       "max_z long, sum_zx long, sum_zi long, "
+                       "png_exact boolean, jpeg_psnr40 boolean"))
+
+
+# maxima_detection + maxima_selection (tree_detection.R:425-499, 555-575)
+# with a REAL DuckDB oracle: both engines derive the same dense 64x64 grid
+# per tile from integer arithmetic; Spark runs the actual incremental-
+# dilation kernel (radius 2 => two dilate_square3 passes == a 5x5 window),
+# DuckDB re-derives maxima relationally — a pixel has dominance radius >= r
+# iff it equals the max of its in-bounds (2r+1)^2 window (dilate_square3
+# clips at borders, so the join's in-bounds neighbor set matches exactly).
+# hmin mirrors maxima_selection's height threshold. Integer z => exact.
+_MAXIMA_DUCK = """
+WITH g AS (
+  SELECT t, i, j, CAST((i * 37 + j * 61 + t * 29) % 23 AS BIGINT) AS z
+  FROM UNNEST(generate_series(0, 15)) tt(t),
+       UNNEST(generate_series(0, 63)) ii(i),
+       UNNEST(generate_series(0, 63)) jj(j)
+), win AS (
+  SELECT g.t, g.i, g.j, g.z,
+         MAX(CASE WHEN n.i BETWEEN g.i - 1 AND g.i + 1
+                   AND n.j BETWEEN g.j - 1 AND g.j + 1 THEN n.z END) AS m1,
+         MAX(n.z) AS m2
+  FROM g JOIN g n ON n.t = g.t
+                 AND n.i BETWEEN g.i - 2 AND g.i + 2
+                 AND n.j BETWEEN g.j - 2 AND g.j + 2
+  GROUP BY g.t, g.i, g.j, g.z
+)
+SELECT t AS tile,
+       CAST(SUM(CASE WHEN z = m2 THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
+       CAST(SUM(CASE WHEN z = m1 AND z < m2 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_r1,
+       CAST(SUM(CASE WHEN z = m1 THEN z ELSE 0 END) AS BIGINT) AS z_sum,
+       CAST(SUM(CASE WHEN z = m1 THEN i * 64 + j ELSE 0 END)
+            AS BIGINT) AS pos_sum
+FROM win
+WHERE z >= 8
+GROUP BY t
+"""
+
+
+def _maxima_localmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real variable-window maxima kernel vs a relational window-max
+    oracle (_MAXIMA_DUCK); n_r1/n_r2 split pins the incremental-dilation
+    radius logic, pos_sum pins positions."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+        from lidartree_spark.kernels.detection import (
+            maxima_detection,
+            maxima_selection,
+        )
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                t = int(t)
+                ii, jj = np.meshgrid(np.arange(64), np.arange(64),
+                                     indexing="ij")
+                z = ((ii * 37 + jj * 61 + t * 29) % 23).astype(np.float64)
+                maxi = maxima_detection(z, res=1.0, max_width=5.0)
+                sel = maxima_selection(maxi, z, hmin=8.0, dmin=0.0,
+                                       dprop=0.0)
+                any_m = sel > 0
+                out.append({
+                    "tile": t,
+                    "n_r2": int((sel == 3.0).sum()),
+                    "n_r1": int((sel == 2.0).sum()),
+                    "z_sum": int(z[any_m].sum()),
+                    "pos_sum": int((ii * 64 + jj)[any_m].sum()),
+                })
+            yield pd.DataFrame(out, columns=["tile", "n_r2", "n_r1",
+                                             "z_sum", "pos_sum"])
+
+    return spark.range(16).repartition(8).mapInPandas(
+        run, schema=("tile int, n_r2 long, n_r1 long, z_sum long, "
+                     "pos_sum long"))
+
+
+# Near-dup dedup CLUSTERS: MinHash-LSH candidate pairs -> distributed
+# connected components (operators/gaps.connected_components — the same
+# min-label + pointer-jumping engine that merges cross-tile gaps) -> one
+# canonical doc per cluster. This is the "keep one copy per near-dup
+# cluster" primitive of a training-data pipeline. Oracle: DuckDB transitive
+# closure by recursive CTE over the identical candidate pairs. Node ids are
+# zero-padded so the operator's lexicographic min-label equals numeric min.
+def _dedup_clusters_duck() -> str:
+    mh = _minhash_sql(_SHINGLES_DUCK, "duck").replace("AS STRING",
+                                                      "AS VARCHAR")
+    return f"""
+WITH RECURSIVE mh AS ({mh}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM mh WHERE shared_bands >= 2),
+sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e
+        UNION SELECT a, a FROM e UNION SELECT b, b FROM e),
+cc AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT c.u, s.v FROM cc c JOIN sym s ON s.u = c.v
+), lab AS (
+  SELECT u AS doc_id, MIN(v) AS canonical FROM cc GROUP BY u
+)
+SELECT doc_id, canonical,
+       CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
+           AS cluster_size,
+       doc_id = canonical AS keep
+FROM lab
+"""
+
+
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster dedup: LSH pairs -> the real distributed CC operator
+    -> canonical selection. Oracle = recursive-CTE transitive closure
+    (_dedup_clusters_duck)."""
+    from pyspark.sql import Window
+
+    from lidartree_spark.operators.gaps import connected_components
+
+    load_views(spark, sf_dir)
+    pairs = (spark.sql(_minhash_sql(_SHINGLES_SPARK, "spark"))
+             .where("shared_bands >= 2"))
+    edges = pairs.selectExpr("lpad(CAST(doc_a AS STRING), 8, '0') AS a",
+                             "lpad(CAST(doc_b AS STRING), 8, '0') AS b")
+    comps = connected_components(edges)
+    lab = comps.selectExpr("CAST(node AS BIGINT) AS doc_id",
+                           "CAST(comp AS BIGINT) AS canonical")
+    w = Window.partitionBy("canonical")
+    return lab.select(
+        "doc_id", "canonical",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("canonical")).alias("keep"))
+
+
 _NO_ORACLE = {
     "tree_detect_tiles": _flagship_detect,
     "tree_match_greedy": _match_greedy,
@@ -1524,6 +1750,9 @@ _NO_ORACLE = {
 _DIALECT["edge_detection_stats"] = (_edge_stats, _EDGE_STATS_DUCK)
 _DIALECT["tree_match_oracle"] = (_tree_match_oracle, _TM_ORACLE_DUCK)
 _DIALECT["raster_chull_mask"] = (_chull_mask, _chull_mask_duck())
+_DIALECT["tiles_roundtrip_stats"] = (_tiles_roundtrip, _RT_DUCK)
+_DIALECT["maxima_localmax"] = (_maxima_localmax, _MAXIMA_DUCK)
+_DIALECT["dedup_clusters"] = (_dedup_clusters, _dedup_clusters_duck())
 
 
 # --- Structured Streaming gates: the STREAM's result (memory sink,
