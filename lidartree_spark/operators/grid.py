@@ -70,6 +70,74 @@ def snap_to_grid(x: Column, start: float, res: float) -> Column:
             * F.lit(res) + F.lit(start) + F.lit(res / 2))
 
 
+# --- Hierarchical Morton (Z-order) cell index — the H3/S2-style key of the
+# north rule. Bit-interleaved (cx, cy) gives every level of the hierarchy
+# for free: parent = code >> 2k, a level-L cell's points occupy ONE
+# contiguous code range [p << 2k, (p+1) << 2k). That contiguity is the
+# scale story: cluster the 10^12-image table by morton code (Z-ORDER) and
+# any ROI/cell filter becomes a code-range predicate that parquet/Iceberg
+# min-max file stats prune BEFORE reading — no UDF anywhere, all whole-stage
+# codegen. Replaces the reference's implicit single-resolution grid snap
+# (raster_metrics.R:83-84) with a multi-resolution index.
+MORTON_BITS = 25          # bits per axis after biasing; code uses 2x25 = 50
+MORTON_BIAS = 1 << 24     # shifts negative grid coords into [0, 2^25)
+
+# magic-mask bit spread: abcde... -> a0b0c0d0e0... (even positions)
+_SPREAD = (
+    (16, 0x0000FFFF0000FFFF),
+    (8, 0x00FF00FF00FF00FF),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (2, 0x3333333333333333),
+    (1, 0x5555555555555555),
+)
+
+
+def _spread_bits(v: Column) -> Column:
+    v = v.bitwiseAND(F.lit((1 << MORTON_BITS) - 1))
+    for shift, mask in _SPREAD:
+        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+    return v
+
+
+def morton_cell(x: Column, y: Column, res: float) -> Column:
+    """Finest-level Morton code of a point: bit-interleave of the biased
+    integer grid coords floor(x/res), floor(y/res). Pure Catalyst bit
+    arithmetic (shiftleft/and/or) -> whole-stage codegen, no UDF."""
+    cx = (F.floor(x / F.lit(res)).cast("long") + F.lit(MORTON_BIAS))
+    cy = (F.floor(y / F.lit(res)).cast("long") + F.lit(MORTON_BIAS))
+    return _spread_bits(cx).bitwiseOR(F.shiftleft(_spread_bits(cy), 1))
+
+
+def morton_parent(code: Column, levels_up: int) -> Column:
+    """Ancestor cell id `levels_up` levels above (each level halves both
+    axes). Parent of a code is a pure right-shift — no recompute."""
+    return F.shiftright(code, 2 * levels_up)
+
+
+def morton_range(parent: Column, levels_up: int) -> Column:
+    """struct(lo, hi): the half-open fine-code range [lo, hi) occupied by
+    every descendant of `parent`. Filtering `code >= lo AND code < hi` is a
+    sargable predicate that reaches the parquet scan (PushedFilters) and
+    prunes Z-ordered files by min/max stats."""
+    lo = F.shiftleft(parent, 2 * levels_up)
+    hi = F.shiftleft(parent + F.lit(1), 2 * levels_up)
+    return F.struct(lo.alias("lo"), hi.alias("hi"))
+
+
+def morton_decode(code: int) -> tuple[int, int]:
+    """Driver/test-side inverse (unbiased grid coords). Not used in plans."""
+    def compact(v: int) -> int:
+        v &= 0x5555555555555555
+        v = (v | (v >> 1)) & 0x3333333333333333
+        v = (v | (v >> 2)) & 0x0F0F0F0F0F0F0F0F
+        v = (v | (v >> 4)) & 0x00FF00FF00FF00FF
+        v = (v | (v >> 8)) & 0x0000FFFF0000FFFF
+        v = (v | (v >> 16)) & 0x00000000FFFFFFFF
+        return v
+    return (compact(code) - MORTON_BIAS,
+            compact(code >> 1) - MORTON_BIAS)
+
+
 def salted(key: Column, salt_buckets: int) -> Column:
     """Skew-salting helper: deterministic salt from the row content hash.
     Heavy side: groupBy(key, salt) partial agg; light side: explode 0..K-1."""

@@ -1727,6 +1727,72 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.col("canonical")).alias("keep"))
 
 
+# Hierarchical Morton (Z-order) cell index — the north rule's H3/S2-style
+# key. Spark encodes with the magic-mask bit spread (operators/grid.py,
+# pure Catalyst shiftleft/and/or); the oracle re-derives every code by a
+# STRUCTURALLY DIFFERENT route — an explicit 50-term per-bit sum — so the
+# gate pins the bit layout itself, not a shared formula. Points include
+# negative coords to exercise the bias. range_ok asserts the S2 contiguity
+# invariant (all descendants of a parent occupy ONE code range — what makes
+# Z-ordered file pruning work); sub_cells pins the mid-level hierarchy.
+_MORTON_TERMS = " + ".join(
+    f"((cx >> {b}) & 1) * {1 << (2 * b)} + "
+    f"((cy >> {b}) & 1) * {1 << (2 * b + 1)}"
+    for b in range(25))
+
+_CELL_INDEX_DUCK = f"""
+WITH pts AS (
+  SELECT event_id % 192 - 40 + 16777216 AS cx,
+         CAST(FLOOR(event_id / 192.0) AS BIGINT) % 128 - 40 + 16777216 AS cy
+  FROM events
+), enc AS (
+  SELECT ({_MORTON_TERMS}) AS code FROM pts
+)
+SELECT code >> 12 AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(code) AS min_code,
+       MAX(code) AS max_code,
+       CAST(COUNT(DISTINCT code >> 6) AS BIGINT) AS sub_cells,
+       MIN(code) >= ((code >> 12) << 12)
+         AND MAX(code) < (((code >> 12) + 1) << 12) AS range_ok
+FROM enc
+GROUP BY 1
+"""
+
+
+def _cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical Morton cell index over points with negative coords:
+    encode (whole-stage codegen bit ops) -> level-6 parent rollup with the
+    contiguous-range invariant. Oracle = per-bit-sum re-derivation
+    (_CELL_INDEX_DUCK)."""
+    from lidartree_spark.operators.grid import (
+        morton_cell,
+        morton_parent,
+        morton_range,
+    )
+
+    load_views(spark, sf_dir)
+    pts = spark.sql("""
+      SELECT CAST(event_id % 192 AS DOUBLE) * 0.5 - 20.0 AS x,
+             CAST(CAST(FLOOR(event_id / 192.0) AS BIGINT) % 128 AS DOUBLE)
+                 * 0.5 - 20.0 AS y
+      FROM events""")
+    enc = pts.select(morton_cell(F.col("x"), F.col("y"), 0.5).alias("code"))
+    agg = (enc.select("code",
+                      morton_parent(F.col("code"), 6).alias("cell"),
+                      morton_parent(F.col("code"), 3).alias("mid"))
+           .groupBy("cell")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.min("code").alias("min_code"),
+                F.max("code").alias("max_code"),
+                F.countDistinct("mid").cast("long").alias("sub_cells")))
+    rng = morton_range(F.col("cell"), 6)
+    return agg.select(
+        "cell", "n", "min_code", "max_code", "sub_cells",
+        ((F.col("min_code") >= rng["lo"])
+         & (F.col("max_code") < rng["hi"])).alias("range_ok"))
+
+
 _NO_ORACLE = {
     "tree_detect_tiles": _flagship_detect,
     "tree_match_greedy": _match_greedy,
@@ -1753,6 +1819,7 @@ _DIALECT["raster_chull_mask"] = (_chull_mask, _chull_mask_duck())
 _DIALECT["tiles_roundtrip_stats"] = (_tiles_roundtrip, _RT_DUCK)
 _DIALECT["maxima_localmax"] = (_maxima_localmax, _MAXIMA_DUCK)
 _DIALECT["dedup_clusters"] = (_dedup_clusters, _dedup_clusters_duck())
+_DIALECT["cell_index_hierarchy"] = (_cell_index, _CELL_INDEX_DUCK)
 
 
 # --- Structured Streaming gates: the STREAM's result (memory sink,
