@@ -1793,6 +1793,69 @@ def _cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
          & (F.col("max_code") < rng["hi"])).alias("range_ok"))
 
 
+# rasters_moving_cor (coregistration.R:162-220) against a fully relational
+# oracle: both engines derive the same deterministic integer grids; Spark
+# runs the REAL kernel (overlap trimming + standardize-once + Pearson);
+# DuckDB reproduces every (tile, dx, dy) correlation from first principles —
+# the overlap is an equi-join b(i - dy, j + dx) = s(i, j), the correlation
+# the aggregate identity mean((b-mu_b)*s) = AVG(b*s) - AVG(b)*AVG(s).
+# ROUND(,6) on both sides; grid values <= 22 keep the identity far from
+# cancellation. Pins the kernel's shift geometry (incl. the y-flip) and the
+# sample-stddev standardization.
+_COREG_SURF_DUCK = """
+WITH tiles AS (SELECT t FROM UNNEST(generate_series(0, 7)) tt(t)),
+cells AS (SELECT i, j FROM UNNEST(generate_series(0, 39)) ii(i),
+                            UNNEST(generate_series(0, 39)) jj(j)),
+big AS (SELECT t, i, j, CAST((i*31 + j*17 + t*13) % 23 AS DOUBLE) AS z
+        FROM tiles, cells),
+sm0 AS (SELECT t, i, j, CAST((i*29 + j*19 + t*7) % 21 AS DOUBLE) AS z
+        FROM tiles, cells),
+st AS (SELECT t, AVG(z) AS mu, STDDEV_SAMP(z) AS sd FROM sm0 GROUP BY t),
+sm AS (SELECT s.t, s.i, s.j, (s.z - st.mu) / st.sd AS sv
+       FROM sm0 s JOIN st ON st.t = s.t),
+sh AS (SELECT dx, dy FROM UNNEST(generate_series(-3, 3)) xx(dx),
+                          UNNEST(generate_series(-3, 3)) yy(dy)
+       WHERE dx*dx + dy*dy <= 9)
+SELECT s.t AS tile, CAST(sh.dx AS BIGINT) AS dx, CAST(sh.dy AS BIGINT) AS dy,
+       ROUND((AVG(b.z * s.sv) - AVG(b.z) * AVG(s.sv))
+             / STDDEV_SAMP(b.z), 6) AS corr
+FROM sh
+CROSS JOIN sm s
+JOIN big b ON b.t = s.t AND b.i = s.i - sh.dy AND b.j = s.j + sh.dx
+GROUP BY s.t, sh.dx, sh.dy
+"""
+
+
+def _coreg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real rasters_moving_cor kernel on deterministic grids vs the
+    relational correlation oracle (_COREG_SURF_DUCK)."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+        from lidartree_spark.kernels.coreg import rasters_moving_cor
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                t = int(t)
+                ii, jj = np.meshgrid(np.arange(40), np.arange(40),
+                                     indexing="ij")
+                big = ((ii * 31 + jj * 17 + t * 13) % 23).astype(np.float64)
+                small = ((ii * 29 + jj * 19 + t * 7) % 21).astype(np.float64)
+                for r in rasters_moving_cor(big, small, buffer=3.0,
+                                            step=1.0, res=1.0):
+                    out.append({"tile": t,
+                                "dx": int(round(r["xoffset"])),
+                                "dy": int(round(r["yoffset"])),
+                                "corr": r["correlation"]})
+            yield pd.DataFrame(out, columns=["tile", "dx", "dy", "corr"])
+
+    df = spark.range(8).repartition(4).mapInPandas(
+        run, schema="tile int, dx long, dy long, corr double")
+    return df.select("tile", "dx", "dy",
+                     F.round(F.col("corr"), 6).alias("corr"))
+
+
 _NO_ORACLE = {
     "tree_detect_tiles": _flagship_detect,
     "tree_match_greedy": _match_greedy,
@@ -1820,6 +1883,7 @@ _DIALECT["tiles_roundtrip_stats"] = (_tiles_roundtrip, _RT_DUCK)
 _DIALECT["maxima_localmax"] = (_maxima_localmax, _MAXIMA_DUCK)
 _DIALECT["dedup_clusters"] = (_dedup_clusters, _dedup_clusters_duck())
 _DIALECT["cell_index_hierarchy"] = (_cell_index, _CELL_INDEX_DUCK)
+_DIALECT["coreg_surface"] = (_coreg_surface, _COREG_SURF_DUCK)
 
 
 # --- Structured Streaming gates: the STREAM's result (memory sink,
