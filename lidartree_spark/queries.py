@@ -1856,6 +1856,290 @@ def _coreg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.col("corr"), 6).alias("corr"))
 
 
+# Marker-controlled watershed (tree_detection.R:621-649, imager::watershed
+# semantics) against a fully relational oracle. Both engines derive the same
+# deterministic cone field: 7 seeds per tile at integer positions, priority
+# = -d^2(pixel, nearest seed). Spark runs the REAL Meyer priority-flood
+# kernel (kernels/segmentation.watershed — the packed-int heap used by every
+# segmentation in the engine); DuckDB re-derives each pixel's basin as the
+# analytic nearest-seed (Voronoi) assignment. On a cone field the flooded
+# basin equals the Voronoi cell wherever the margin d2nd - d1st >= 9
+# (4-connected flooding vs L2 distance only disagree in a 1-px boundary
+# band; the margin filter — computed from ANALYTIC distances on both sides,
+# never from the watershed output — excludes exactly that band, keeping
+# ~96% of pixels). Grouping on the Spark side uses the WATERSHED labels, so
+# any mislabeled interior pixel breaks the per-basin count/position hashes.
+# Ties: numpy argmin and the oracle's ROW_NUMBER(ORDER BY d2, k) both take
+# the lowest seed index; duplicate minima yield margin 0 and are excluded
+# identically (np.sort and rn=2 both count multiplicity).
+_WATERSHED_DUCK = """
+WITH px AS (
+  SELECT t, i, j
+  FROM UNNEST(generate_series(0, 15)) tt(t),
+       UNNEST(generate_series(0, 63)) ii(i),
+       UNNEST(generate_series(0, 63)) jj(j)
+), sd AS (
+  SELECT t, k,
+         (t * 19 + k * 23 + 7) % 64 AS si,
+         (t * 31 + k * 41 + 13) % 64 AS sj
+  FROM UNNEST(generate_series(0, 15)) tt(t),
+       UNNEST(generate_series(0, 6)) kk(k)
+), d AS (
+  SELECT px.t, px.i, px.j, sd.k,
+         (px.i - sd.si) * (px.i - sd.si)
+           + (px.j - sd.sj) * (px.j - sd.sj) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY px.t, px.i, px.j
+           ORDER BY (px.i - sd.si) * (px.i - sd.si)
+                  + (px.j - sd.sj) * (px.j - sd.sj), sd.k) AS rn
+  FROM px JOIN sd ON sd.t = px.t
+), r AS (
+  SELECT t, i, j,
+         MAX(CASE WHEN rn = 1 THEN k END) AS kmin,
+         MAX(CASE WHEN rn = 1 THEN d2 END) AS d1,
+         MAX(CASE WHEN rn = 2 THEN d2 END) AS dsecond
+  FROM d WHERE rn <= 2 GROUP BY t, i, j
+)
+SELECT t AS tile, CAST(kmin AS INT) AS seed,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(i * 64 + j) AS BIGINT) AS pos_sum,
+       CAST(SUM(d1) AS BIGINT) AS d2_sum
+FROM r
+WHERE dsecond - d1 >= 9
+GROUP BY t, kmin
+"""
+
+
+def _watershed_voronoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real packed-int-heap watershed kernel on a deterministic cone
+    field vs the analytic Voronoi oracle (_WATERSHED_DUCK)."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+        from lidartree_spark.kernels.segmentation import watershed
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                t = int(t)
+                pos = [((t * 19 + k * 23 + 7) % 64,
+                        (t * 31 + k * 41 + 13) % 64) for k in range(7)]
+                ii, jj = np.meshgrid(np.arange(64), np.arange(64),
+                                     indexing="ij")
+                d2 = np.stack([(ii - si) ** 2 + (jj - sj) ** 2
+                               for si, sj in pos])
+                srt = np.sort(d2, axis=0)
+                margin_ok = (srt[1] - srt[0]) >= 9
+                seeds = np.zeros((64, 64), dtype=np.int64)
+                for k, (si, sj) in enumerate(pos):
+                    seeds[si, sj] = k + 1
+                lab = watershed(seeds, -srt[0].astype(np.float64))
+                posv = ii * 64 + jj
+                for k in range(7):
+                    m = margin_ok & (lab == k + 1)
+                    if not m.any():  # oracle emits only non-empty basins
+                        continue
+                    out.append({"tile": t, "seed": k,
+                                "n_px": int(m.sum()),
+                                "pos_sum": int(posv[m].sum()),
+                                "d2_sum": int(srt[0][m].sum())})
+            yield pd.DataFrame(out, columns=["tile", "seed", "n_px",
+                                             "pos_sum", "d2_sum"])
+
+    return spark.range(16).repartition(8).mapInPandas(
+        run, schema=("tile int, seed int, n_px long, pos_sum long, "
+                     "d2_sum long"))
+
+
+# dem_filtering (tree_detection.R:294-389) — BOTH non-linear branches plus
+# the Gaussian smoothing — against a fully relational oracle. The engine
+# runs the REAL kernel (edge padding, disk-5 grey closing, 5x5 median,
+# separable truncated-FIR Gaussian); DuckDB re-derives every step from
+# first principles: edge replication = coordinate clamping over the
+# extended domain [-3,66], dilation/erosion = MAX/MIN over the disk via a
+# range join (the _rank_filter's +/-inf fill = the join's in-bounds
+# neighbor set), the Gaussian = two explicit 5-tap weighted sums with
+# EXP-derived normalized weights. Closing/median are integer-exact;
+# smoothing is quantize-then-sum (ROUND 6 per pixel, then row sum) on both
+# sides. Per-(tile,row) aggregates: one mislabeled pixel anywhere in the
+# 64x64 core breaks its row's hash.
+_DEMFILT_DUCK = """
+WITH ext AS (
+  SELECT t, i, j,
+         CAST((LEAST(GREATEST(i, 0), 63) * 37
+               + LEAST(GREATEST(j, 0), 63) * 61 + t * 29) % 23
+              AS DOUBLE) AS z
+  FROM UNNEST(generate_series(0, 15)) tt(t),
+       UNNEST(generate_series(-3, 66)) ii(i),
+       UNNEST(generate_series(-3, 66)) jj(j)
+), dil AS (
+  SELECT e.t, e.i, e.j,
+         MAX(CASE WHEN (n.i - e.i) * (n.i - e.i)
+                       + (n.j - e.j) * (n.j - e.j) <= 4
+                  THEN n.z END) AS v
+  FROM ext e JOIN ext n ON n.t = e.t
+         AND n.i BETWEEN e.i - 2 AND e.i + 2
+         AND n.j BETWEEN e.j - 2 AND e.j + 2
+  GROUP BY e.t, e.i, e.j
+), clo AS (
+  SELECT e.t, e.i, e.j,
+         MIN(CASE WHEN (n.i - e.i) * (n.i - e.i)
+                       + (n.j - e.j) * (n.j - e.j) <= 4
+                  THEN n.v END) AS v
+  FROM dil e JOIN dil n ON n.t = e.t
+         AND n.i BETWEEN e.i - 2 AND e.i + 2
+         AND n.j BETWEEN e.j - 2 AND e.j + 2
+  WHERE e.i BETWEEN -2 AND 65 AND e.j BETWEEN -2 AND 65
+  GROUP BY e.t, e.i, e.j
+), w AS (
+  SELECT k, EXP(-(k * k) / (2.0 * 0.6 * 0.6)) /
+         (SELECT SUM(EXP(-(m * m) / (2.0 * 0.6 * 0.6)))
+          FROM UNNEST(generate_series(-2, 2)) mm(m)) AS wt
+  FROM UNNEST(generate_series(-2, 2)) kk(k)
+), h AS (
+  SELECT c.t, c.i, c.j - w.k AS j, SUM(c.v * w.wt) AS v
+  FROM clo c JOIN w ON TRUE
+  WHERE c.j - w.k BETWEEN 0 AND 63
+  GROUP BY c.t, c.i, c.j - w.k
+), s AS (
+  SELECT hh.t, hh.i - w.k AS i, hh.j, SUM(hh.v * w.wt) AS v
+  FROM h hh JOIN w ON TRUE
+  WHERE hh.i - w.k BETWEEN 0 AND 63
+  GROUP BY hh.t, hh.i - w.k, hh.j
+), med AS (
+  SELECT e.t, e.i, e.j, MEDIAN(n.z) AS v
+  FROM ext e JOIN ext n ON n.t = e.t
+         AND n.i BETWEEN e.i - 2 AND e.i + 2
+         AND n.j BETWEEN e.j - 2 AND e.j + 2
+  WHERE e.i BETWEEN 0 AND 63 AND e.j BETWEEN 0 AND 63
+  GROUP BY e.t, e.i, e.j
+)
+SELECT c.t AS tile, CAST(c.i AS INT) AS i,
+       CAST(SUM(c.v) AS BIGINT) AS clo_sum,
+       CAST(MIN(c.v) AS BIGINT) AS clo_min,
+       CAST(MAX(c.v) AS BIGINT) AS clo_max,
+       ROUND(SUM(ROUND(s.v, 6)), 6) AS smo_sum,
+       CAST(SUM(m.v) AS BIGINT) AS med_sum
+FROM clo c
+JOIN s ON s.t = c.t AND s.i = c.i AND s.j = c.j
+JOIN med m ON m.t = c.t AND m.i = c.i AND m.j = c.j
+WHERE c.i BETWEEN 0 AND 63 AND c.j BETWEEN 0 AND 63
+GROUP BY c.t, c.i
+"""
+
+
+def _dem_filtering_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real dem_filtering kernel (Closing + Gaussian, and Median) on
+    deterministic integer grids vs the relational morphology oracle
+    (_DEMFILT_DUCK)."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+        from lidartree_spark.kernels.detection import dem_filtering
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                t = int(t)
+                ii, jj = np.meshgrid(np.arange(64), np.arange(64),
+                                     indexing="ij")
+                z = ((ii * 37 + jj * 61 + t * 29) % 23).astype(np.float64)
+                fc = dem_filtering(z, nl_filter="Closing", nl_size=5,
+                                   sigma=0.6, res=1.0)
+                fm = dem_filtering(z, nl_filter="Median", nl_size=5,
+                                   sigma=0.0, res=1.0)
+                clo = fc["non_linear_image"]
+                smo = fc["smoothed_image"]
+                med = fm["non_linear_image"]
+                for i in range(64):
+                    out.append({
+                        "tile": t, "i": i,
+                        "clo_sum": int(clo[i].sum()),
+                        "clo_min": int(clo[i].min()),
+                        "clo_max": int(clo[i].max()),
+                        "smo_sum": round(float(np.round(smo[i], 6).sum()),
+                                         6),
+                        "med_sum": int(med[i].sum()),
+                    })
+            yield pd.DataFrame(out, columns=["tile", "i", "clo_sum",
+                                             "clo_min", "clo_max",
+                                             "smo_sum", "med_sum"])
+
+    return spark.range(16).repartition(8).mapInPandas(
+        run, schema=("tile int, i int, clo_sum long, clo_min long, "
+                     "clo_max long, smo_sum double, med_sum long"))
+
+
+# Pixel connected-component labeling (imager::label semantics,
+# gap_detection.R:199) — the real vectorized Shiloach-Vishkin kernel
+# (kernels/segmentation.label_components) vs a DuckDB transitive-closure
+# oracle. The binary mask is block-constant (4x4 blocks), so the oracle
+# labels the 16x16 BLOCK graph by recursive-CTE min-label closure and
+# expands pixel stats analytically (n_px = 16 x blocks; each block
+# contributes 16*id + 1560 to the pixel-position sum, id = top-left pixel
+# index) — a structurally different derivation at a different granularity,
+# while the engine labels all 4096 pixels. The mask's horizontal stride-1
+# runs make snake components up to 18 blocks long (diameter >> log n),
+# exercising the kernel's pointer-jumping, and canonical ids (min pixel
+# index) must agree exactly.
+_LABEL_CC_DUCK = """
+WITH RECURSIVE blk AS (
+  SELECT t, bi, bj, 256 * bi + 4 * bj AS id
+  FROM UNNEST(generate_series(0, 15)) tt(t),
+       UNNEST(generate_series(0, 15)) bb(bi),
+       UNNEST(generate_series(0, 15)) cc2(bj)
+  WHERE (bi * 13 + bj + t * 7) % 23 < 11
+), e AS (
+  SELECT a.t, a.id AS u, b.id AS v
+  FROM blk a JOIN blk b ON b.t = a.t
+   AND ((b.bi = a.bi AND ABS(b.bj - a.bj) = 1)
+     OR (b.bj = a.bj AND ABS(b.bi - a.bi) = 1))
+), sym AS (
+  SELECT t, u, v FROM e UNION SELECT t, id, id FROM blk
+), cc AS (
+  SELECT t, u, v FROM sym
+  UNION
+  SELECT c.t, c.u, s.v FROM cc c JOIN sym s ON s.t = c.t AND s.u = c.v
+), labs AS (
+  SELECT t AS tile, u, MIN(v) AS comp FROM cc GROUP BY t, u
+)
+SELECT tile, CAST(comp AS BIGINT) AS comp,
+       CAST(16 * COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(16 * u + 1560) AS BIGINT) AS pos_sum
+FROM labs GROUP BY tile, comp
+"""
+
+
+def _label_components_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real Shiloach-Vishkin pixel CC kernel on block-structured masks
+    vs the block-graph closure oracle (_LABEL_CC_DUCK)."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+        from lidartree_spark.kernels.segmentation import label_components
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                t = int(t)
+                ii, jj = np.meshgrid(np.arange(64), np.arange(64),
+                                     indexing="ij")
+                mask = (((ii // 4) * 13 + (jj // 4) + t * 7) % 23) < 11
+                lab = label_components(mask)
+                posv = ii * 64 + jj
+                for lv in np.unique(lab[lab > 0]):
+                    m = lab == lv
+                    out.append({"tile": t,
+                                "comp": int(posv[m].min()),
+                                "n_px": int(m.sum()),
+                                "pos_sum": int(posv[m].sum())})
+            yield pd.DataFrame(out, columns=["tile", "comp", "n_px",
+                                             "pos_sum"])
+
+    return spark.range(16).repartition(8).mapInPandas(
+        run, schema="tile int, comp long, n_px long, pos_sum long")
+
+
 _NO_ORACLE = {
     "tree_detect_tiles": _flagship_detect,
     "tree_match_greedy": _match_greedy,
@@ -1884,6 +2168,10 @@ _DIALECT["maxima_localmax"] = (_maxima_localmax, _MAXIMA_DUCK)
 _DIALECT["dedup_clusters"] = (_dedup_clusters, _dedup_clusters_duck())
 _DIALECT["cell_index_hierarchy"] = (_cell_index, _CELL_INDEX_DUCK)
 _DIALECT["coreg_surface"] = (_coreg_surface, _COREG_SURF_DUCK)
+_DIALECT["watershed_voronoi"] = (_watershed_voronoi, _WATERSHED_DUCK)
+_DIALECT["dem_filtering_surface"] = (_dem_filtering_surface, _DEMFILT_DUCK)
+_DIALECT["label_components_blocks"] = (_label_components_blocks,
+                                       _LABEL_CC_DUCK)
 
 
 # --- Structured Streaming gates: the STREAM's result (memory sink,
@@ -1921,10 +2209,15 @@ def _streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = _stage_events(spark, sf_dir)
     name = "win_" + uuid.uuid4().hex[:12]
-    q = (windowed_event_stats(stream_events(spark, src))
-         .writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (windowed_event_stats(stream_events(spark, src))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -1949,11 +2242,21 @@ def _streaming_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = _stage_events(spark, sf_dir, n_files=3)
     name = "tot_" + uuid.uuid4().hex[:12]
-    q = (running_user_totals(stream_events(spark, src,
-                                           max_files_per_trigger=1))
-         .writeStream.format("memory").queryName(name)
-         .outputMode("update").trigger(availableNow=True).start())
-    q.awaitTermination()
+    # The state store instantiates one provider per shuffle partition per
+    # micro-batch; at this volume 32 partitions x 3 batches is pure
+    # commit-latency overhead. 8 partitions is still multi-core parallel —
+    # on a real cluster this knob is sized to executor count, not left at
+    # the batch default. Restored after the stream finishes.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (running_user_totals(stream_events(spark, src,
+                                               max_files_per_trigger=1))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     # update mode appends one row per (user, batch); the final state is the
     # row with the highest running count
     return (spark.table(name)
