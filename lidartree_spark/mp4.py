@@ -1,0 +1,174 @@
+"""Pure-python MP4 (ISO base media file format) / Motion-JPEG video codec.
+
+Real spec-compliant ISO-BMFF files — ftyp + mdat + moov with a full sample
+table (stsd 'jpeg' VisualSampleEntry, stts/stsc/stsz/stco) — where every
+video sample is a baseline JPEG from lidartree_spark.jpeg. This is the
+QuickTime/MP4 'jpeg' codec (photo-JPEG), a legal MP4 payload that players
+and ffmpeg demux natively; it replaces the FakeDecoder stand-in for
+fmt == "mp4" (operators/multimodal.py) the same way the RIFF muxer did for
+"avi" (lidartree_spark.avi). Grayscale frames; stdlib struct + numpy only.
+
+The demuxer walks the real box tree and trusts only the sample table:
+sample byte ranges come from stsz/stsc/stco (absolute file offsets, any
+chunking), so third-party MJPEG MP4s with extra boxes (free, udta, uuid)
+decode too. An H.264 ('avc1') track raises NotImplementedError — a
+from-scratch H.264 entropy decoder stays out of scope; the CONTAINER path
+is real for every codec.
+
+Box layout reference: ISO/IEC 14496-12 (public spec); no reference-repo
+counterpart (the R package has no video handling) — this exists for the
+multimodal column family (mission brief) only.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from lidartree_spark.jpeg import decode_jpeg_gray, encode_jpeg_gray
+
+
+def _box(tag: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", len(payload) + 8) + tag + payload
+
+
+def _full(tag: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(tag, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 10,
+                     quality: int = 90) -> bytes:
+    """(n, h, w) uint8 (or float in [0,1]) -> MP4 bytes ('jpeg' samples)."""
+    f = np.asarray(frames)
+    if f.ndim != 3:
+        raise ValueError("frames must be (n, h, w)")
+    if f.dtype != np.uint8:
+        f = np.clip(np.round(f.astype(np.float64) * 255.0), 0, 255) \
+            .astype(np.uint8)
+    n, h, w = f.shape
+    samples = [encode_jpeg_gray(f[i], quality=quality) for i in range(n)]
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                + b"isom" + b"iso2" + b"mp41")
+    mdat = _box(b"mdat", b"".join(samples))
+    first_off = len(ftyp) + 8  # absolute offset of sample 1 inside mdat
+
+    timescale, dur = max(1, fps), n  # 1 tick per frame
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, dur)
+        + struct.pack(">iHH8x", 0x00010000, 0x0100, 0)
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">6I", 0, 0, 0, 0, 0, 0) + struct.pack(">I", 2))
+    tkhd = _full(b"tkhd", 0, 3, struct.pack(
+        ">IIIII", 0, 0, 1, 0, dur)
+        + struct.pack(">16x")  # reserved[2] + layer/alt_group/volume/reserved
+        + struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16))
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, dur, 0x55C4, 0))  # language 'und'
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">4x") + b"vide"
+                 + struct.pack(">12x") + b"MJPEG video\x00")
+
+    stsd_entry = (struct.pack(">I", 86) + b"jpeg"
+                  + struct.pack(">6xH", 1)          # data_reference_index
+                  + struct.pack(">HH12x", 0, 0)     # pre_defined/reserved
+                  + struct.pack(">HH", w, h)
+                  + struct.pack(">IIIH", 0x00480000, 0x00480000, 0, 1)
+                  + b"\x0bphoto-jpeg" + b"\x00" * 21  # 32-byte pascal name
+                  + struct.pack(">Hh", 24, -1))
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, 1))
+    stsc = _full(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", 0, n)
+                 + b"".join(struct.pack(">I", len(s)) for s in samples))
+    stco = _full(b"stco", 0, 0, struct.pack(">II", 1, first_off))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _full(b"url ", 0, 1, b""))
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+def _walk(buf: bytes, start: int, end: int):
+    """Yield (tag, payload_start, payload_end) for each box in [start, end)."""
+    off = start
+    while off + 8 <= end:
+        size = struct.unpack_from(">I", buf, off)[0]
+        tag = buf[off + 4:off + 8]
+        body = off + 8
+        if size == 1:  # 64-bit largesize
+            size = struct.unpack_from(">Q", buf, off + 8)[0]
+            body = off + 16
+        elif size == 0:  # to end of file
+            size = end - off
+        if size < 8 or off + size > end:
+            raise ValueError("corrupt MP4 box tree")
+        yield tag, body, off + size
+        off += size
+
+
+def _find(buf: bytes, start: int, end: int, path: list[bytes]) -> tuple[int, int]:
+    tag0, rest = path[0], path[1:]
+    for tag, b, e in _walk(buf, start, end):
+        if tag == tag0:
+            return (b, e) if not rest else _find(buf, b, e, rest)
+    raise ValueError(f"missing box {b'/'.join(path).decode()}")
+
+
+def decode_mp4_mjpeg(buf: bytes) -> np.ndarray:
+    """MP4 bytes -> (n, h, w) uint8. First video track, 'jpeg' samples."""
+    n_end = len(buf)
+    stbl_b, stbl_e = _find(buf, 0, n_end,
+                           [b"moov", b"trak", b"mdia", b"minf", b"stbl"])
+    boxes = {tag: (b, e) for tag, b, e in _walk(buf, stbl_b, stbl_e)}
+    for need in (b"stsd", b"stsz", b"stco", b"stsc"):
+        if need not in boxes:
+            raise ValueError(f"missing box {need.decode()}")
+
+    b, _ = boxes[b"stsd"]
+    fourcc = buf[b + 12:b + 16]
+    if fourcc not in (b"jpeg", b"mjpa", b"MJPG", b"mjpg"):
+        raise NotImplementedError(
+            f"mp4 codec {fourcc!r} not supported (only Motion-JPEG; an "
+            "H.264 decoder is out of scope)")
+
+    b, _ = boxes[b"stsz"]
+    fixed, count = struct.unpack_from(">II", buf, b + 4)
+    if fixed:
+        sizes = [fixed] * count
+    else:
+        sizes = list(struct.unpack_from(f">{count}I", buf, b + 12))
+
+    b, _ = boxes[b"stco"]
+    n_chunks = struct.unpack_from(">I", buf, b + 4)[0]
+    offsets = list(struct.unpack_from(f">{n_chunks}I", buf, b + 8))
+
+    b, _ = boxes[b"stsc"]
+    n_ent = struct.unpack_from(">I", buf, b + 4)[0]
+    stsc = [struct.unpack_from(">III", buf, b + 8 + 12 * i)
+            for i in range(n_ent)]  # (first_chunk, samples_per_chunk, _)
+
+    # expand (chunk -> samples_per_chunk) runs into per-sample offsets
+    frames, si = [], 0
+    for ci, chunk_off in enumerate(offsets, start=1):
+        spc = 0
+        for first, per, _ in stsc:
+            if first <= ci:
+                spc = per
+        pos = chunk_off
+        for _ in range(spc):
+            if si >= count:
+                break
+            frames.append(decode_jpeg_gray(buf[pos:pos + sizes[si]]))
+            pos += sizes[si]
+            si += 1
+    if si != count:
+        raise ValueError(f"sample table claims {count} samples, "
+                         f"chunk map yields {si}")
+    return np.stack(frames)

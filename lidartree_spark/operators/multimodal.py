@@ -10,14 +10,17 @@ signatures) is real and tested. Format decoders:
 - fmt == "wav"     -> REAL RIFF/WAVE PCM16 parsing (decode_wav_pcm16 below)
 - fmt == "avi"     -> REAL RIFF/AVI Motion-JPEG (lidartree_spark.avi; each
   frame is a baseline JPEG)
-- fmt == "mp4"     -> `FakeDecoder`, a clearly-marked deterministic
-  stand-in seeded by media_id (a from-scratch H.264 decoder is out of
-  scope and ffmpeg/pyav are absent here; same shape/dtype contract a real
-  decoder would satisfy). `decode_*(..., strict=True)` raises
-  NotImplementedError instead.
+- fmt == "mp4"     -> REAL ISO-BMFF / MP4 Motion-JPEG (lidartree_spark.mp4:
+  full box tree + stsd/stts/stsc/stsz/stco sample table; each sample is a
+  baseline JPEG — the QuickTime/MP4 'jpeg' codec). An 'avc1' (H.264) track
+  raises NotImplementedError from the demuxer — the container parsing is
+  real for every codec, the entropy decode only for Motion-JPEG.
 
-Downstream ops (resize, feature extraction, frame sampling, RMS energy) are
-REAL numpy implementations over whatever the decode stage yields.
+No stub decoders remain (STUB_FORMATS is empty); `FakeDecoder` survives
+only as the deterministic pixel/sample SOURCE for synthetic_media — i.e. a
+data generator, never a decode path. Downstream ops (resize, feature
+extraction, frame sampling, RMS energy) are REAL numpy implementations
+over whatever the decode stage yields.
 """
 
 from __future__ import annotations
@@ -34,7 +37,7 @@ MEDIA_SCHEMA = ("media_id string, kind string, bytes binary, fmt string, "
                 "width int, height int, channels int, sample_rate int, "
                 "n_frames int")
 
-STUB_FORMATS = {"mp4"}
+STUB_FORMATS: set[str] = set()  # every recognized format decodes for real
 
 
 def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
@@ -74,9 +77,10 @@ def decode_wav_pcm16(buf: bytes):
 
 
 class FakeDecoder:
-    """Deterministic stand-in for image/audio/video codecs (STUB — replace
-    with PIL/soundfile/pyav on a real cluster). Output shape honors the
-    metadata columns, values are seeded from media_id."""
+    """Deterministic media-id-seeded array SOURCE used by synthetic_media
+    to fabricate pixels/samples BEFORE they are encoded with the real
+    codecs (and by tests as the independent ground truth for what a decode
+    should approximately return). Not a decode path — no fmt routes here."""
 
     @staticmethod
     def _rng(media_id: str):
@@ -109,12 +113,11 @@ def decode_image_array(rec, strict: bool = False) -> np.ndarray:
         from lidartree_spark.jpeg import decode_jpeg_gray
         return (decode_jpeg_gray(rec.bytes).astype(np.float32)
                 / 255.0)[..., None]
-    if rec.fmt in STUB_FORMATS:
-        if strict:
-            raise NotImplementedError(
-                f"real {rec.fmt} decode requires PIL/pyav (not in sandbox)")
-        return FakeDecoder.image(rec.media_id, rec.width, rec.height,
-                                 max(1, rec.channels))
+    if rec.fmt in ("avi", "mp4"):
+        raise ValueError(f"{rec.fmt!r} is a video container — use "
+                         "video_frame_sample")
+    if strict:
+        raise NotImplementedError(f"no decoder for media fmt {rec.fmt!r}")
     raise ValueError(f"unknown media fmt {rec.fmt!r}")
 
 
@@ -177,10 +180,6 @@ def audio_frame_energy(media: DataFrame, frame: int = 1024,
             for rec in pdf.itertuples(index=False):
                 if rec.fmt == "wav":
                     samples, _ = decode_wav_pcm16(rec.bytes)
-                elif rec.fmt in STUB_FORMATS:
-                    samples = FakeDecoder.audio(rec.media_id,
-                                                rec.sample_rate,
-                                                rec.n_frames)
                 else:
                     samples = np.frombuffer(rec.bytes, dtype=np.float32)
                 n = (len(samples) - frame) // hop + 1 if len(samples) >= frame else 0
@@ -207,9 +206,12 @@ def video_frame_sample(media: DataFrame, every: int = 4,
                     from lidartree_spark.avi import decode_avi_mjpeg
                     frames = (decode_avi_mjpeg(rec.bytes)
                               .astype(np.float32) / 255.0)
+                elif rec.fmt == "mp4":
+                    from lidartree_spark.mp4 import decode_mp4_mjpeg
+                    frames = (decode_mp4_mjpeg(rec.bytes)
+                              .astype(np.float32) / 255.0)
                 else:
-                    frames = FakeDecoder.video(rec.media_id, rec.width,
-                                               rec.height, rec.n_frames)
+                    raise ValueError(f"unknown video fmt {rec.fmt!r}")
                 for i in range(0, frames.shape[0], every):
                     th = resize_bilinear(frames[i][..., None], resize_to,
                                          resize_to)
@@ -226,10 +228,12 @@ def video_frame_sample(media: DataFrame, every: int = 4,
 def synthetic_media(spark, n: int = 24) -> DataFrame:
     """Small deterministic media table exercising all three kinds. Images
     alternate REAL baseline JPEG and REAL PNG payloads; audio carries REAL
-    RIFF/WAVE PCM16 bytes; video carries REAL RIFF/AVI Motion-JPEG."""
+    RIFF/WAVE PCM16 bytes; video alternates REAL RIFF/AVI and REAL
+    ISO-BMFF/MP4 Motion-JPEG containers."""
     from lidartree_spark.avi import encode_avi_mjpeg
     from lidartree_spark.codecs import encode_png_gray16
     from lidartree_spark.jpeg import encode_jpeg_gray
+    from lidartree_spark.mp4 import encode_mp4_mjpeg
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -259,8 +263,10 @@ def synthetic_media(spark, n: int = 24) -> DataFrame:
         else:
             nf = 8 + (i % 5)
             frames = FakeDecoder.video(mid, 16, 12, nf)
+            enc, fmt = ((encode_avi_mjpeg, "avi") if (i // 3) % 2 == 0
+                        else (encode_mp4_mjpeg, "mp4"))
             rows.append({"media_id": mid, "kind": kind,
-                         "bytes": encode_avi_mjpeg(frames, quality=95),
-                         "fmt": "avi", "width": 16, "height": 12,
+                         "bytes": enc(frames, quality=95),
+                         "fmt": fmt, "width": 16, "height": 12,
                          "channels": 1, "sample_rate": 0, "n_frames": nf})
     return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)

@@ -148,15 +148,44 @@ def test_image_features_plumbing(spark):
     assert sorted(r.mean for r in feats) == sorted(r.mean for r in again)
 
 
-def test_decode_strict_raises():
-    # mp4 is the one remaining stub format (no ffmpeg in this environment)
+def test_decode_has_no_fake_fallback():
+    # no stub formats remain: video containers are routed to the video op,
+    # genuinely unknown formats raise instead of yielding fabricated pixels
     class Rec:
         media_id, fmt, width, height, channels = "m1", "mp4", 8, 8, 3
         bytes = b""
+    with pytest.raises(ValueError, match="video container"):
+        decode_image_array(Rec)
+
+    class Unknown:
+        media_id, fmt, width, height, channels = "m2", "h264", 8, 8, 1
+        bytes = b""
     with pytest.raises(NotImplementedError):
-        decode_image_array(Rec, strict=True)
-    arr = decode_image_array(Rec)  # fake path
-    assert arr.shape == (8, 8, 3)
+        decode_image_array(Unknown, strict=True)
+    with pytest.raises(ValueError):
+        decode_image_array(Unknown)
+
+
+def test_mp4_mjpeg_roundtrip_and_codec_guard():
+    """Real ISO-BMFF mux/demux round-trip (PSNR >= 40 per frame through the
+    lossy JPEG samples), and the honest H.264 rejection path."""
+    from lidartree_spark.codecs import psnr
+    from lidartree_spark.mp4 import decode_mp4_mjpeg, encode_mp4_mjpeg
+
+    src = FakeDecoder.video("mp4-rt", 24, 16, 5)
+    buf = encode_mp4_mjpeg(src, fps=10, quality=95)
+    assert buf[4:8] == b"ftyp"
+    got = decode_mp4_mjpeg(buf)
+    assert got.shape == (5, 16, 24) and got.dtype == np.uint8
+    u8 = np.clip(np.round(src * 255.0), 0, 255)
+    for k in range(5):
+        assert psnr(u8[k], got[k].astype(np.float64)) >= 40.0
+
+    # rewrite the stsd sample-entry fourcc (tag + ver/flags + count + size)
+    i = buf.index(b"stsd") + 4 + 4 + 4 + 4
+    avc = buf[:i] + b"avc1" + buf[i + 4:]
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_mp4_mjpeg(avc)
 
 
 def test_decode_jpeg_is_real():
