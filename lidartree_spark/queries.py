@@ -2140,6 +2140,156 @@ def _label_components_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         run, schema="tile int, comp long, n_px long, pos_sum long")
 
 
+# raster_zonal_stats + seg_adjust (tree_detection.R:689-710, 769-790)
+# against a window-function oracle. Labels are an analytic 8x8 block
+# pattern both engines derive independently; the engine runs the REAL
+# scatter-max zonal painter and the real three-rule crown trimmer, the
+# oracle re-derives the per-segment max as MAX() OVER (PARTITION BY) and
+# the trim rules as the survival predicate wh >= 8 AND z >= 0.5*wh AND
+# z >= 3 (integers and exact halves — no float ambiguity). Per-surviving-
+# segment counts and sums; 1024 rows.
+_ZONAL_DUCK = """
+WITH g AS (
+  SELECT t, i, j, (i * 37 + j * 61 + t * 29) % 23 AS z,
+         t * 1000 + (i // 8) * 8 + (j // 8) + 1 AS lab
+  FROM UNNEST(generate_series(0, 15)) tt(t),
+       UNNEST(generate_series(0, 63)) ii(i),
+       UNNEST(generate_series(0, 63)) jj(j)
+), w AS (
+  SELECT t, lab, z, MAX(z) OVER (PARTITION BY t, lab) AS wh FROM g
+)
+SELECT t AS tile, CAST(lab AS BIGINT) AS lab,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(z) AS BIGINT) AS z_sum,
+       CAST(MAX(wh) AS BIGINT) AS wh
+FROM w
+WHERE wh >= 8 AND z >= 0.5 * wh AND z >= 3
+GROUP BY t, lab
+"""
+
+
+def _zonal_adjust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real raster_zonal_stats scatter-max + seg_adjust trim rules on
+    analytic block labels vs the window-max oracle (_ZONAL_DUCK)."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+        from lidartree_spark.kernels.segmentation import (
+            raster_zonal_stats,
+            seg_adjust,
+        )
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                t = int(t)
+                ii, jj = np.meshgrid(np.arange(64), np.arange(64),
+                                     indexing="ij")
+                z = ((ii * 37 + jj * 61 + t * 29) % 23).astype(np.float64)
+                seg = (t * 1000 + (ii // 8) * 8 + (jj // 8) + 1) \
+                    .astype(np.int64)
+                wh = raster_zonal_stats(seg, z, np.max)
+                adj = seg_adjust(seg, wh, z, prop=0.5, min_value=3.0,
+                                 min_maxvalue=8.0)
+                for lv in np.unique(adj[adj > 0]):
+                    m = adj == lv
+                    out.append({"tile": t, "lab": int(lv),
+                                "n_px": int(m.sum()),
+                                "z_sum": int(z[m].sum()),
+                                "wh": int(wh[m].max())})
+            yield pd.DataFrame(out, columns=["tile", "lab", "n_px",
+                                             "z_sum", "wh"])
+
+    return spark.range(16).repartition(8).mapInPandas(
+        run, schema="tile int, lab long, n_px long, z_sum long, wh long")
+
+
+# tree_extraction (tree_detection.R:1000-1086) against a relational oracle:
+# analytic 8x8-block segments, one apex per block at an analytic in-block
+# offset, and a partial column mask. The engine runs the REAL kernel —
+# bincount zonal s/v, mask-aware sp (in-mask count) and vp (NaN when the
+# segment is partially outside, R's sum-with-NA semantics), apex georef
+# x0/y1/res transforms, masked-apex dropping. The oracle re-derives all of
+# it with GROUP BY/CASE (vp split into vp_nan boolean + vp0 to keep the
+# hash NaN-free). res=0.5 and x0=100 pin the georef arithmetic; quarter
+# multiples and integer z keep every value float-exact.
+_TREE_EXTRACT_DUCK = """
+WITH g AS (
+  SELECT t, i, j, CAST((i*37 + j*61 + t*29) % 23 AS DOUBLE) AS z,
+         t*1000 + (i//8)*8 + (j//8) + 1 AS lab,
+         j BETWEEN 4 AND 59 AS inm
+  FROM UNNEST(generate_series(0, 15)) tt(t),
+       UNNEST(generate_series(0, 63)) ii(i),
+       UNNEST(generate_series(0, 63)) jj(j)
+), segstats AS (
+  SELECT t, lab,
+         CAST(COUNT(*) * 0.25 AS DOUBLE) AS s,
+         CAST(SUM(z) * 0.25 AS DOUBLE) AS v,
+         CAST(SUM(CASE WHEN inm THEN 1 ELSE 0 END) * 0.25 AS DOUBLE) AS sp,
+         BOOL_OR(NOT inm) AS vp_nan,
+         CAST(CASE WHEN BOOL_OR(NOT inm) THEN 0.0
+                   ELSE SUM(z) * 0.25 END AS DOUBLE) AS vp0
+  FROM g GROUP BY t, lab
+), apex AS (
+  SELECT t, 8*bi + (t+bi) % 8 AS ai, 8*bj + (t+bj) % 8 AS aj,
+         CAST(1 + (t+bi+bj) % 3 AS DOUBLE) AS dom,
+         t*1000 + bi*8 + bj + 1 AS lab
+  FROM UNNEST(generate_series(0, 15)) tt(t),
+       UNNEST(generate_series(0, 7)) bb(bi),
+       UNNEST(generate_series(0, 7)) cc2(bj)
+)
+SELECT a.t AS tile, CAST(a.lab AS BIGINT) AS id,
+       100.0 + (a.aj + 0.5) * 0.5 AS x,
+       32.0 - (a.ai + 0.5) * 0.5 AS y,
+       CAST((a.ai*37 + a.aj*61 + a.t*29) % 23 AS DOUBLE) AS h,
+       a.dom, s.s, s.v, s.sp, s.vp_nan, s.vp0
+FROM apex a JOIN segstats s ON s.t = a.t AND s.lab = a.lab
+WHERE a.aj BETWEEN 4 AND 59
+"""
+
+
+def _tree_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real tree_extraction kernel (zonal s/v/sp/vp, georef apexes,
+    masked-apex dropping) vs the relational oracle (_TREE_EXTRACT_DUCK)."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+        from lidartree_spark.kernels.extraction import tree_extraction
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                t = int(t)
+                ii, jj = np.meshgrid(np.arange(64), np.arange(64),
+                                     indexing="ij")
+                z = ((ii * 37 + jj * 61 + t * 29) % 23).astype(np.float64)
+                seg = (t * 1000 + (ii // 8) * 8 + (jj // 8) + 1) \
+                    .astype(np.int64)
+                maxi = np.zeros((64, 64))
+                for bi in range(8):
+                    for bj in range(8):
+                        maxi[8 * bi + (t + bi) % 8,
+                             8 * bj + (t + bj) % 8] = 1 + (t + bi + bj) % 3
+                mask = np.where((jj >= 4) & (jj <= 59), 1.0, np.nan)
+                for r in tree_extraction(z, maxi, seg, x0=100.0, res=0.5,
+                                         mask=mask):
+                    vp_nan = bool(np.isnan(r["vp"]))
+                    out.append({"tile": t, "id": r["id"], "x": r["x"],
+                                "y": r["y"], "h": r["h"],
+                                "dom": r["dom_radius"], "s": r["s"],
+                                "v": r["v"], "sp": r["sp"],
+                                "vp_nan": vp_nan,
+                                "vp0": 0.0 if vp_nan else r["vp"]})
+            yield pd.DataFrame(out, columns=["tile", "id", "x", "y", "h",
+                                             "dom", "s", "v", "sp",
+                                             "vp_nan", "vp0"])
+
+    return spark.range(16).repartition(8).mapInPandas(
+        run, schema=("tile int, id long, x double, y double, h double, "
+                     "dom double, s double, v double, sp double, "
+                     "vp_nan boolean, vp0 double"))
+
+
 _NO_ORACLE = {
     "tree_detect_tiles": _flagship_detect,
     "tree_match_greedy": _match_greedy,
@@ -2172,6 +2322,9 @@ _DIALECT["watershed_voronoi"] = (_watershed_voronoi, _WATERSHED_DUCK)
 _DIALECT["dem_filtering_surface"] = (_dem_filtering_surface, _DEMFILT_DUCK)
 _DIALECT["label_components_blocks"] = (_label_components_blocks,
                                        _LABEL_CC_DUCK)
+_DIALECT["zonal_adjust_stats"] = (_zonal_adjust_stats, _ZONAL_DUCK)
+_DIALECT["tree_extraction_stats"] = (_tree_extraction_stats,
+                                     _TREE_EXTRACT_DUCK)
 
 
 # --- Structured Streaming gates: the STREAM's result (memory sink,
