@@ -962,6 +962,68 @@ _NEARDUP_DUCK = _neardup_sql("duck")
 # Non-SQL tile-pipeline operators (rows-only driver check; full validation in
 # tests/ against the numpy oracle).
 
+def _north_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full north-star chain as ONE Spark plan over the input_hint
+    table (image_id, bytes, w, h, fmt, caption, phash):
+
+    1. ROI tile prune — Catalyst range predicates (partition pruning);
+    2. buffered decomposition — halo strip exchange;
+    3. decode + detect — one mapInPandas pass (tree_segmentation +
+       tree_extraction + in-UDF crop-to-core dedup);
+    4. exact polygon clip — broadcast ring + vectorized ray casting;
+    5. hierarchical Morton cell assignment — whole-stage-codegen bit ops
+       (the H3/S2-style batched cell encoding of the north rule);
+    6. grid-bucketed greedy matching vs the reference inventory — one
+       keyed shuffle, batched grouped map;
+    7. skew-salted join of per-cell detections against the zone dim, then
+       aggregation keyed (cell_id, image_id) — the north rule's salted
+       shuffle shape.
+
+    Every stage is the same operator the standalone gated queries pin;
+    tests/test_north_star_chain.py asserts the chain neither duplicates
+    nor drops a detection across stages 5-7 (sum(n_trees) == clipped
+    detection count) and that the matching layer agrees with the
+    standalone matcher."""
+    from lidartree_spark.operators.detection import tree_detection_catalog
+    from lidartree_spark.operators.grid import (
+        morton_cell,
+        morton_parent,
+        salted_join,
+    )
+    from lidartree_spark.operators.matching import (
+        detection_counts,
+        match_trees,
+    )
+    from lidartree_spark.operators.tiles import (
+        synthetic_ref_trees,
+        synthetic_tiles,
+    )
+
+    roi = "POLYGON ((8 8, 248 8, 248 248, 8 248, 8 8))"
+    tiles = synthetic_tiles(spark, 4, 4)
+    det = tree_detection_catalog(tiles, roi)
+    ref = synthetic_ref_trees(spark, 4, 4)
+    matched = match_trees(ref, det)
+    counts = detection_counts(ref, det, matched)
+
+    cells = det.select(
+        "image_id", "h",
+        morton_parent(morton_cell(F.col("x"), F.col("y"), 1.0), 5)
+        .alias("cell"))
+    zones = spark.range(7).select(
+        F.col("id").alias("zone_id"),
+        F.concat(F.lit("zone_"), F.col("id")).alias("zone"))
+    heavy = cells.withColumn("zone_id", F.pmod(F.col("cell"), F.lit(7)))
+    joined = salted_join(heavy, zones, on=["zone_id"], salt_src="cell")
+    agg = (joined.groupBy("cell", "image_id")
+           .agg(F.count("*").cast("long").alias("n_trees"),
+                F.round(F.avg("h"), 6).alias("mean_h"),
+                F.first("zone").alias("zone")))
+    return (agg.join(F.broadcast(counts), "image_id", "left")
+            .select("cell", "image_id", "zone", "n_trees", "mean_h",
+                    "true_detections", "false_detections", "omissions"))
+
+
 def _flagship_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tiles -> detected trees, grid size seeded from the testdata scale."""
     from lidartree_spark.operators.detection import detect_trees
@@ -2291,6 +2353,7 @@ def _tree_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NO_ORACLE = {
+    "north_star_chain": _north_star_chain,
     "tree_detect_tiles": _flagship_detect,
     "tree_match_greedy": _match_greedy,
     "tiles_decode_invariants": _decode_invariants,
