@@ -2352,6 +2352,71 @@ def _tree_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "vp_nan boolean, vp0 double"))
 
 
+# points2DTM / TIN interpolation (common.R:105-123, lidR rasterize_terrain
+# tin()) with a REAL oracle via planar exactness: barycentric interpolation
+# over ANY triangulation reproduces a linear field exactly, so on
+# z = 3x + 5y + 7 the full distributed pipeline — point-halo shuffle,
+# per-tile Bowyer-Watson Delaunay, barycentric interpolation at cell
+# centers, raw_f32 tile encode/decode — must return the plane itself at
+# every cell center, which DuckDB re-derives directly. Perimeter anchor
+# points pin the convex hull to the 2-tile rectangle so no core cell is
+# NaN; the interior scatter (0.1-grid pseudo-random, all x distinct) keeps
+# the triangulation non-trivial (~400 points, hundreds of triangles whose
+# shapes the oracle never needs to know). ROUND(,3): values are exact
+# multiples of 0.25 and the float32 tile codec's error is ~3e-5.
+_TIN_PLANE_DUCK = """
+SELECT col, i, j,
+       ROUND(CAST(3 * (col * 32 + (j + 0.5) * 0.5)
+                  + 5 * (32 - (i + 0.5) * 0.5) + 7 AS DOUBLE), 3) AS z
+FROM UNNEST(generate_series(0, 1)) cc2(col),
+     UNNEST(generate_series(0, 63)) ii(i),
+     UNNEST(generate_series(0, 63)) jj(j)
+"""
+
+_TIN_PTS_SQL = """
+  SELECT CAST(id * 37 % 640 AS DOUBLE) / 10 AS x,
+         CAST(id * 53 % 320 AS DOUBLE) / 10 AS y FROM range(300)
+  UNION ALL SELECT 0.05 + 2 * id, 0.05 FROM range(32)
+  UNION ALL SELECT 0.05 + 2 * id, 31.95 FROM range(32)
+  UNION ALL SELECT 0.05, 2.05 + 2 * id FROM range(15)
+  UNION ALL SELECT 63.95, 2.05 + 2 * id FROM range(15)
+  UNION ALL SELECT CAST(63.95 AS DOUBLE), CAST(0.05 AS DOUBLE)
+  UNION ALL SELECT CAST(63.95 AS DOUBLE), CAST(31.95 AS DOUBLE)
+"""
+
+
+def _points2dtm_tin_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real distributed TIN pipeline on a planar field vs the direct
+    plane oracle (_TIN_PLANE_DUCK)."""
+    import pandas as pd
+
+    from lidartree_spark.operators.rasterize import points_to_dtm_tiles
+
+    pts = spark.sql(_TIN_PTS_SQL).selectExpr(
+        "x", "y", "3 * x + 5 * y + 7 AS z")
+    tiles = points_to_dtm_tiles(pts, res=0.5, tile_px=64, halo_m=8.0)
+
+    def cells(batches):
+        import numpy as np
+        from lidartree_spark.codecs import decode_tile
+        for pdf in batches:
+            frames = []
+            for rec in pdf.itertuples(index=False):
+                a = decode_tile(rec.bytes, rec.fmt, rec.w, rec.h)
+                ii, jj = np.meshgrid(np.arange(rec.h), np.arange(rec.w),
+                                     indexing="ij")
+                frames.append(pd.DataFrame({
+                    "col": int(rec.image_id[6:10]),
+                    "i": ii.ravel().astype(np.int32),
+                    "j": jj.ravel().astype(np.int32),
+                    "z": np.round(a.astype(np.float64).ravel(), 3)}))
+            yield (pd.concat(frames, ignore_index=True) if frames
+                   else pd.DataFrame(columns=["col", "i", "j", "z"]))
+
+    return tiles.mapInPandas(cells,
+                             schema="col int, i int, j int, z double")
+
+
 _NO_ORACLE = {
     "north_star_chain": _north_star_chain,
     "tree_detect_tiles": _flagship_detect,
@@ -2388,6 +2453,7 @@ _DIALECT["label_components_blocks"] = (_label_components_blocks,
 _DIALECT["zonal_adjust_stats"] = (_zonal_adjust_stats, _ZONAL_DUCK)
 _DIALECT["tree_extraction_stats"] = (_tree_extraction_stats,
                                      _TREE_EXTRACT_DUCK)
+_DIALECT["points2dtm_tin_plane"] = (_points2dtm_tin_plane, _TIN_PLANE_DUCK)
 
 
 # --- Structured Streaming gates: the STREAM's result (memory sink,
