@@ -2352,6 +2352,125 @@ def _tree_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "vp_nan boolean, vp0 double"))
 
 
+# gap_detection (gap_detection.R:142-228) — the multi-threshold closing
+# ladder, component labeling, and surface filter — against a fully
+# relational oracle on a 2-bin mini-ladder. Both engines derive the same
+# block-structured CHM; the engine runs the REAL kernel (median
+# dem_filtering -> per-bin binary chord-decomposed closings (disk 3 at
+# h=1, disk 7 at h=3) -> complement -> Shiloach-Vishkin labeling ->
+# min_gap_surface filter); DuckDB re-derives every stage: median over the
+# clamped 3x3 window, each closing as clipped MAX-then-MIN disk range
+# joins, gaps as the complement of the bin union, components by
+# recursive-CTE closure, the surface filter as HAVING COUNT(*) >= 5.
+# Gap ids are canonical min pixel indices so labels compare exactly.
+_GAP_LADDER_DUCK = """
+WITH RECURSIVE ext AS (
+  SELECT t, i, j,
+         ((LEAST(GREATEST(i, 0), 23) // 4) * 7
+          + (LEAST(GREATEST(j, 0), 23) // 4) * 11 + t * 3) % 6 AS z
+  FROM UNNEST(generate_series(0, 1)) tt(t),
+       UNNEST(generate_series(-2, 25)) ii(i),
+       UNNEST(generate_series(-2, 25)) jj(j)
+), med AS (
+  SELECT e.t, e.i, e.j, MEDIAN(n.z) AS c
+  FROM ext e JOIN ext n ON n.t = e.t
+        AND n.i BETWEEN e.i - 1 AND e.i + 1
+        AND n.j BETWEEN e.j - 1 AND e.j + 1
+  WHERE e.i BETWEEN 0 AND 23 AND e.j BETWEEN 0 AND 23
+  GROUP BY e.t, e.i, e.j
+), dil1 AS (
+  SELECT e.t, e.i, e.j,
+         MAX(CASE WHEN (n.i-e.i)*(n.i-e.i) + (n.j-e.j)*(n.j-e.j) <= 1
+                  THEN CASE WHEN n.c > 1 THEN 1 ELSE 0 END END) AS v
+  FROM med e JOIN med n ON n.t = e.t
+        AND n.i BETWEEN e.i - 1 AND e.i + 1
+        AND n.j BETWEEN e.j - 1 AND e.j + 1
+  GROUP BY e.t, e.i, e.j
+), clo1 AS (
+  SELECT e.t, e.i, e.j,
+         MIN(CASE WHEN (n.i-e.i)*(n.i-e.i) + (n.j-e.j)*(n.j-e.j) <= 1
+                  THEN n.v END) AS v
+  FROM dil1 e JOIN dil1 n ON n.t = e.t
+        AND n.i BETWEEN e.i - 1 AND e.i + 1
+        AND n.j BETWEEN e.j - 1 AND e.j + 1
+  GROUP BY e.t, e.i, e.j
+), dil3 AS (
+  SELECT e.t, e.i, e.j,
+         MAX(CASE WHEN (n.i-e.i)*(n.i-e.i) + (n.j-e.j)*(n.j-e.j) <= 9
+                  THEN CASE WHEN n.c > 3 THEN 1 ELSE 0 END END) AS v
+  FROM med e JOIN med n ON n.t = e.t
+        AND n.i BETWEEN e.i - 3 AND e.i + 3
+        AND n.j BETWEEN e.j - 3 AND e.j + 3
+  GROUP BY e.t, e.i, e.j
+), clo3 AS (
+  SELECT e.t, e.i, e.j,
+         MIN(CASE WHEN (n.i-e.i)*(n.i-e.i) + (n.j-e.j)*(n.j-e.j) <= 9
+                  THEN n.v END) AS v
+  FROM dil3 e JOIN dil3 n ON n.t = e.t
+        AND n.i BETWEEN e.i - 3 AND e.i + 3
+        AND n.j BETWEEN e.j - 3 AND e.j + 3
+  GROUP BY e.t, e.i, e.j
+), gapx AS (
+  SELECT a.t, a.i, a.j, a.i * 24 + a.j AS id
+  FROM clo1 a JOIN clo3 b ON b.t = a.t AND b.i = a.i AND b.j = a.j
+  WHERE GREATEST(a.v, b.v) = 0
+), e2 AS (
+  SELECT a.t, a.id AS u, b.id AS v
+  FROM gapx a JOIN gapx b ON b.t = a.t
+   AND ((b.i = a.i AND ABS(b.j - a.j) = 1)
+     OR (b.j = a.j AND ABS(b.i - a.i) = 1))
+), sym AS (
+  SELECT t, u, v FROM e2 UNION SELECT t, id, id FROM gapx
+), cc AS (
+  SELECT t, u, v FROM sym
+  UNION
+  SELECT c.t, c.u, s.v FROM cc c JOIN sym s ON s.t = c.t AND s.u = c.v
+), labs AS (
+  SELECT t AS tile, u, MIN(v) AS comp FROM cc GROUP BY t, u
+)
+SELECT tile, CAST(comp AS BIGINT) AS comp,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM(u) AS BIGINT) AS pos_sum
+FROM labs GROUP BY tile, comp
+HAVING COUNT(*) >= 5
+"""
+
+
+def _gap_ladder_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real gap_detection kernel (median filter, 2-bin closing ladder,
+    CC labeling, surface filter) vs the relational morphology + closure
+    oracle (_GAP_LADDER_DUCK)."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+        from lidartree_spark.kernels.gaps import gap_detection
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                t = int(t)
+                ii, jj = np.meshgrid(np.arange(24), np.arange(24),
+                                     indexing="ij")
+                z = (((ii // 4) * 7 + (jj // 4) * 11 + t * 3) % 6) \
+                    .astype(np.float64)
+                res = gap_detection(z, res=1.0, ratio=0.5,
+                                    gap_max_height=1.0, min_gap_surface=5.0,
+                                    closing_height_bin=2.0,
+                                    nl_filter="Median", nl_size=3)
+                lab = res["gap_id"].astype(np.int64)
+                posv = ii * 24 + jj
+                for lv in np.unique(lab[lab > 0]):
+                    m = lab == lv
+                    out.append({"tile": t, "comp": int(posv[m].min()),
+                                "n_px": int(m.sum()),
+                                "pos_sum": int(posv[m].sum())})
+            yield pd.DataFrame(out, columns=["tile", "comp", "n_px",
+                                             "pos_sum"])
+
+    return spark.range(2).repartition(2).mapInPandas(
+        run, schema="tile int, comp long, n_px long, pos_sum long")
+
+
 # points2DTM / TIN interpolation (common.R:105-123, lidR rasterize_terrain
 # tin()) with a REAL oracle via planar exactness: barycentric interpolation
 # over ANY triangulation reproduces a linear field exactly, so on
@@ -2454,6 +2573,7 @@ _DIALECT["zonal_adjust_stats"] = (_zonal_adjust_stats, _ZONAL_DUCK)
 _DIALECT["tree_extraction_stats"] = (_tree_extraction_stats,
                                      _TREE_EXTRACT_DUCK)
 _DIALECT["points2dtm_tin_plane"] = (_points2dtm_tin_plane, _TIN_PLANE_DUCK)
+_DIALECT["gap_ladder_surface"] = (_gap_ladder_surface, _GAP_LADDER_DUCK)
 
 
 # --- Structured Streaming gates: the STREAM's result (memory sink,
