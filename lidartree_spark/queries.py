@@ -2352,6 +2352,67 @@ def _tree_extraction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "vp_nan boolean, vp0 double"))
 
 
+# crown_wkt (tree_detection.R:1067-1084 digit rule + marching-squares
+# tracing) against a string-construction oracle: on square crowns the
+# traced ring is fully determined — start at the top-left corner, walk the
+# top edge right in res steps, down the right edge, left along the bottom,
+# up the left edge, close — and every coordinate is %.2f-formatted. DuckDB
+# rebuilds each polygon verbatim with printf + STRING_AGG(ORDER BY), so the
+# gate compares the EXACT WKT strings (vertex order, ring closure, digit
+# quantization) for 1024 crowns.
+_CROWN_WKT_DUCK = """
+WITH blk AS (
+  SELECT t, bi, bj, t*1000 + bi*8 + bj + 1 AS id,
+         100.0 + bj * 4.0 AS xl, 100.0 + bj * 4.0 + 4.0 AS xr,
+         32.0 - bi * 4.0 AS yt, 32.0 - bi * 4.0 - 4.0 AS yb
+  FROM UNNEST(generate_series(0, 15)) tt(t),
+       UNNEST(generate_series(0, 7)) bb(bi),
+       UNNEST(generate_series(0, 7)) cc2(bj)
+), verts AS (
+  SELECT b.t, b.id, k AS ord, b.xl + k * 0.5 AS x, b.yt AS y
+  FROM blk b, UNNEST(generate_series(0, 8)) kk(k)
+  UNION ALL
+  SELECT b.t, b.id, 8 + k, b.xr, b.yt - k * 0.5
+  FROM blk b, UNNEST(generate_series(1, 8)) kk(k)
+  UNION ALL
+  SELECT b.t, b.id, 16 + k, b.xr - k * 0.5, b.yb
+  FROM blk b, UNNEST(generate_series(1, 8)) kk(k)
+  UNION ALL
+  SELECT b.t, b.id, 24 + k, b.xl, b.yb + k * 0.5
+  FROM blk b, UNNEST(generate_series(1, 8)) kk(k)
+)
+SELECT t AS tile, CAST(id AS BIGINT) AS id,
+       'POLYGON ((' || STRING_AGG(printf('%.2f %.2f', x, y), ', '
+                                  ORDER BY ord) || '))' AS wkt
+FROM verts GROUP BY t, id
+"""
+
+
+def _crown_wkt_rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real marching-squares crown tracer on square block segments vs
+    the verbatim string oracle (_CROWN_WKT_DUCK)."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+        from lidartree_spark.kernels.extraction import crown_wkt
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                t = int(t)
+                ii, jj = np.meshgrid(np.arange(64), np.arange(64),
+                                     indexing="ij")
+                seg = (t * 1000 + (ii // 8) * 8 + (jj // 8) + 1) \
+                    .astype(np.int64)
+                for k, v in crown_wkt(seg, x0=100.0, y1=32.0,
+                                      res=0.5).items():
+                    out.append({"tile": t, "id": int(k), "wkt": v})
+            yield pd.DataFrame(out, columns=["tile", "id", "wkt"])
+
+    return spark.range(16).repartition(8).mapInPandas(
+        run, schema="tile int, id long, wkt string")
+
+
 # gap_detection (gap_detection.R:142-228) — the multi-threshold closing
 # ladder, component labeling, and surface filter — against a fully
 # relational oracle on a 2-bin mini-ladder. Both engines derive the same
@@ -2574,6 +2635,7 @@ _DIALECT["tree_extraction_stats"] = (_tree_extraction_stats,
                                      _TREE_EXTRACT_DUCK)
 _DIALECT["points2dtm_tin_plane"] = (_points2dtm_tin_plane, _TIN_PLANE_DUCK)
 _DIALECT["gap_ladder_surface"] = (_gap_ladder_surface, _GAP_LADDER_DUCK)
+_DIALECT["crown_wkt_rects"] = (_crown_wkt_rects, _CROWN_WKT_DUCK)
 
 
 # --- Structured Streaming gates: the STREAM's result (memory sink,
