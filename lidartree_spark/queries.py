@@ -1235,8 +1235,31 @@ def _coregistration(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # registry
 
+# Deterministic proportional stratified sampling — the training-data
+# pipeline's "sample X% per (lang, source) stratum, reproducibly"
+# primitive. Hash-ordered ROW_NUMBER per stratum makes the sample a pure
+# function of the data (no RNG state, rerun-stable, cluster-size
+# independent); CEIL keeps every non-empty stratum represented. At scale
+# this is one window over the stratum-partitioned shuffle — no
+# collect, no global sort. (`doc_id || ''` is the string coercion both
+# dialects accept.)
+_STRATIFIED_SAMPLE = """
+WITH ranked AS (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY md5(doc_id || '')) AS rk,
+         COUNT(*) OVER (PARTITION BY lang, source) AS stratum_n
+  FROM documents
+)
+SELECT lang, source, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(rk AS BIGINT) AS rk, CAST(stratum_n AS BIGINT) AS stratum_n
+FROM ranked
+WHERE rk <= CEIL(0.2 * stratum_n)
+"""
+
 _SHARED = {
     # name: (shared_sql_for_both,)
+    "stratified_sample": _STRATIFIED_SAMPLE,
     "points2dsm": _POINTS2DSM,
     "raster_metrics_regrid": _RASTER_METRICS,
     "vegetation_indices": _VEG_INDICES,
