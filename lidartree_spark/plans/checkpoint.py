@@ -114,6 +114,10 @@ class Pipeline:
                 "rows": n_rows,
                 "partitions": part_rows,
                 "schema": written.drop("_part").schema.simpleString(),
+                "bytes": sum(
+                    os.path.getsize(os.path.join(data_dir, f))
+                    for f in os.listdir(data_dir)
+                    if f.endswith(".parquet")),
                 "wall_sec": round(time.time() - t0, 3),
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                               time.gmtime()),
