@@ -1001,6 +1001,14 @@ def _north_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     roi = "POLYGON ((8 8, 248 8, 248 248, 8 248, 8 8))"
     tiles = synthetic_tiles(spark, 4, 4)
+    # det feeds three consumers (cell agg, matcher, confusion counts) and
+    # is deliberately NOT persisted: measured A/B-interleaved at this
+    # corpus, recompute wins (2.5-3.0 s vs 3.7-5.1 s persisted) because the
+    # three branch recomputations overlap on idle cores while caching
+    # serializes stage scheduling and pays materialization. The crossover
+    # is executor saturation: at corpus scale you materialize the detection
+    # output once — that is exactly plans/checkpoint.Pipeline's job (and
+    # the checkpointed_detect gate exercises it).
     det = tree_detection_catalog(tiles, roi)
     ref = synthetic_ref_trees(spark, 4, 4)
     matched = match_trees(ref, det)
