@@ -347,6 +347,39 @@ SELECT doc_id,
 FROM documents
 """
 
+# BPE-ish token counting (GPT-2-style pre-tokenizer classes, simplified to
+# ASCII): optional-leading-space letter runs / digit runs / punctuation
+# runs. Complements the whitespace count in text_quality — the pair is the
+# brief's "token counting (whitespace + a BPE-ish regex)". regexp dialects:
+# Spark string literals process backslash escapes (Java regex), DuckDB's
+# don't (RE2) — the pattern itself is compatible with both engines.
+_BPE_SPARK = r"""
+SELECT doc_id,
+       CAST(size(regexp_extract_all(text,
+            ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+', 0)) AS BIGINT)
+           AS n_bpe,
+       CAST(size(regexp_extract_all(text, ' ?[A-Za-z]+', 0)) AS BIGINT)
+           AS n_word,
+       CAST(size(regexp_extract_all(text, ' ?[0-9]+', 0)) AS BIGINT)
+           AS n_num,
+       CAST(size(regexp_extract_all(text, ' ?[^A-Za-z0-9\\s]+', 0))
+            AS BIGINT) AS n_punct
+FROM documents
+"""
+
+_BPE_DUCK = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+            ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe,
+       CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+')) AS BIGINT)
+           AS n_word,
+       CAST(len(regexp_extract_all(text, ' ?[0-9]+')) AS BIGINT) AS n_num,
+       CAST(len(regexp_extract_all(text, ' ?[^A-Za-z0-9\s]+')) AS BIGINT)
+           AS n_punct
+FROM documents
+"""
+
+
 # Language-ID heuristic: stopword-hit ratio over whitespace tokens.
 _LANGID_SPARK = """
 SELECT doc_id,
@@ -1297,6 +1330,7 @@ _DIALECT = {
     "raster_xy_mask": (_xy_mask_sql("spark"), _xy_mask_sql("duck")),
     "aba_quantiles": (_ABA_QUANTILES_SPARK, _ABA_QUANTILES_DUCK),
     "langid_heuristic": (_LANGID_SPARK, _LANGID_DUCK),
+    "bpe_token_count": (_BPE_SPARK, _BPE_DUCK),
     "doc_fingerprint": (_FINGERPRINT_SPARK, _FINGERPRINT_DUCK),
     "embedding_topk": (_topk_spark, _TOPK_DUCK),
     "species_dim_join": (_SPECIES_JOIN_SPARK, _SPECIES_JOIN_DUCK),
