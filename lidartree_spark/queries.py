@@ -380,6 +380,62 @@ FROM documents
 """
 
 
+# Rabin-style rolling polynomial fingerprint (the brief's "document
+# fingerprinting (rolling hash)"): fp(doc) = sum_i ascii(c_i) * B^(n-i)
+# mod M with B=131, M=2^31-1 — the polynomial form whose windowed variant
+# is the rolling shingle hash. Spark gets the modular powers table from a
+# tiny driver loop (broadcast join — at corpus scale the table is
+# max-doc-length rows, i.e. trivial); DuckDB rebuilds it independently by
+# recursive CTE, so the modular arithmetic itself is cross-checked. Terms
+# stay in int64: 127 * M * max_len ~ 5e14 << 2^63.
+_RABIN_DUCK = """
+WITH RECURSIVE powers(k, p) AS (
+  SELECT 1, CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT k + 1, (p * 131) % 2147483647 FROM powers
+  WHERE k < (SELECT MAX(LENGTH(text)) FROM documents)
+), idx AS (
+  SELECT i FROM UNNEST(generate_series(
+    1, (SELECT MAX(LENGTH(text)) FROM documents))) t(i)
+), chars AS (
+  SELECT doc_id, LENGTH(text) AS n, idx.i,
+         ascii(substr(text, CAST(idx.i AS INT), 1)) AS a
+  FROM documents JOIN idx ON idx.i <= LENGTH(text)
+)
+SELECT doc_id,
+       CAST(SUM(a * p.p) % 2147483647 AS BIGINT) AS fp
+FROM chars JOIN powers p ON p.k = n - i + 1
+GROUP BY doc_id
+"""
+
+
+def _rabin_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint; the oracle re-derives the
+    powers table by recursive CTE (_RABIN_DUCK)."""
+    import pandas as pd
+
+    load_views(spark, sf_dir)
+    maxn = spark.sql(
+        "SELECT MAX(LENGTH(text)) AS m FROM documents").collect()[0].m
+    b_mod, m_mod = 131, (1 << 31) - 1
+    pows = [1] * int(maxn)
+    for k in range(1, int(maxn)):
+        pows[k] = (pows[k - 1] * b_mod) % m_mod
+    spark.createDataFrame(
+        pd.DataFrame({"k": range(1, int(maxn) + 1), "p": pows})) \
+        .createOrReplaceTempView("rabin_powers")
+    return spark.sql("""
+      WITH chars AS (
+        SELECT doc_id, LENGTH(text) AS n, i, ascii(substr(text, i, 1)) AS a
+        FROM documents LATERAL VIEW explode(sequence(1, LENGTH(text))) t AS i
+      )
+      SELECT doc_id,
+             CAST(SUM(a * p.p) % 2147483647 AS BIGINT) AS fp
+      FROM chars JOIN rabin_powers p ON p.k = n - i + 1
+      GROUP BY doc_id
+    """)
+
+
 # Language-ID heuristic: stopword-hit ratio over whitespace tokens.
 _LANGID_SPARK = """
 SELECT doc_id,
@@ -1331,6 +1387,7 @@ _DIALECT = {
     "aba_quantiles": (_ABA_QUANTILES_SPARK, _ABA_QUANTILES_DUCK),
     "langid_heuristic": (_LANGID_SPARK, _LANGID_DUCK),
     "bpe_token_count": (_BPE_SPARK, _BPE_DUCK),
+    "rabin_fingerprint": (_rabin_fingerprint, _RABIN_DUCK),
     "doc_fingerprint": (_FINGERPRINT_SPARK, _FINGERPRINT_DUCK),
     "embedding_topk": (_topk_spark, _TOPK_DUCK),
     "species_dim_join": (_SPECIES_JOIN_SPARK, _SPECIES_JOIN_DUCK),
