@@ -436,6 +436,44 @@ def _rabin_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# Distributed word count + top-k per group (§2.8's sort/top-k shape as an
+# explicit gate): explode tokens -> two-level aggregation (map-side
+# partials both levels) -> per-lang rank window, k=10, ties broken by
+# token text so the cut is deterministic.
+_TOKEN_TOPK_SPARK = """
+WITH toks AS (
+  SELECT lang, tok FROM documents
+  LATERAL VIEW explode(split(text, ' ')) t AS tok
+  WHERE tok != ''
+), counts AS (
+  SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY lang, tok
+), ranked AS (
+  SELECT lang, tok, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n DESC, tok) AS rk
+  FROM counts
+)
+SELECT lang, tok, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 10
+"""
+
+_TOKEN_TOPK_DUCK = """
+WITH toks AS (
+  SELECT lang, t.tok FROM documents, UNNEST(string_split(text, ' ')) t(tok)
+  WHERE t.tok != ''
+), counts AS (
+  SELECT lang, tok, COUNT(*) AS n FROM toks GROUP BY lang, tok
+), ranked AS (
+  SELECT lang, tok, n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY n DESC, tok) AS rk
+  FROM counts
+)
+SELECT lang, tok, CAST(n AS BIGINT) AS n, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 10
+"""
+
+
 # Language-ID heuristic: stopword-hit ratio over whitespace tokens.
 _LANGID_SPARK = """
 SELECT doc_id,
@@ -1388,6 +1426,7 @@ _DIALECT = {
     "langid_heuristic": (_LANGID_SPARK, _LANGID_DUCK),
     "bpe_token_count": (_BPE_SPARK, _BPE_DUCK),
     "rabin_fingerprint": (_rabin_fingerprint, _RABIN_DUCK),
+    "token_topk": (_TOKEN_TOPK_SPARK, _TOKEN_TOPK_DUCK),
     "doc_fingerprint": (_FINGERPRINT_SPARK, _FINGERPRINT_DUCK),
     "embedding_topk": (_topk_spark, _TOPK_DUCK),
     "species_dim_join": (_SPECIES_JOIN_SPARK, _SPECIES_JOIN_DUCK),
