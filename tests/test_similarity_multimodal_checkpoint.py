@@ -344,3 +344,49 @@ def test_real_wav_codec_roundtrip():
     out, rate = decode_wav_pcm16(buf)
     assert rate == 16000
     assert np.allclose(out, samples, atol=1.0 / 32767 + 1e-6)
+
+
+def test_mp4_multi_chunk_sample_table():
+    """Third-party MJPEG MP4s spread samples over several chunks; the
+    demuxer must expand stsc runs against absolute stco offsets. Build a
+    two-chunk file by hand (chunk 1 holds 2 samples, chunk 2 holds 1,
+    separated by a gap the sample table must skip) and check frame parity
+    with the single-chunk encoding."""
+    import struct
+
+    from lidartree_spark import mp4 as m
+
+    src = FakeDecoder.video("mp4-chunks", 16, 12, 3)
+    ref = m.decode_mp4_mjpeg(m.encode_mp4_mjpeg(src, quality=95))
+
+    from lidartree_spark.jpeg import encode_jpeg_gray
+    u8 = np.clip(np.round(src * 255.0), 0, 255).astype(np.uint8)
+    samples = [encode_jpeg_gray(u8[i], quality=95) for i in range(3)]
+
+    ftyp = m._box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    gap = b"\xde\xad\xbe\xef" * 4  # inter-chunk junk the offsets skip
+    mdat_payload = samples[0] + samples[1] + gap + samples[2]
+    mdat = m._box(b"mdat", mdat_payload)
+    off1 = len(ftyp) + 8
+    off2 = off1 + len(samples[0]) + len(samples[1]) + len(gap)
+
+    stsd_entry = (struct.pack(">I", 86) + b"jpeg"
+                  + struct.pack(">6xH", 1) + struct.pack(">HH12x", 0, 0)
+                  + struct.pack(">HH", 16, 12)
+                  + struct.pack(">IIIH", 0x480000, 0x480000, 0, 1)
+                  + b"\x00" * 32 + struct.pack(">Hh", 24, -1))
+    stbl = m._box(b"stbl",
+                  m._full(b"stsd", 0, 0, struct.pack(">I", 1) + stsd_entry)
+                  + m._full(b"stts", 0, 0, struct.pack(">III", 1, 3, 1))
+                  + m._full(b"stsc", 0, 0, struct.pack(">I", 2)
+                            + struct.pack(">III", 1, 2, 1)
+                            + struct.pack(">III", 2, 1, 1))
+                  + m._full(b"stsz", 0, 0, struct.pack(">II", 0, 3)
+                            + b"".join(struct.pack(">I", len(s))
+                                       for s in samples))
+                  + m._full(b"stco", 0, 0,
+                            struct.pack(">III", 2, off1, off2)))
+    moov = m._box(b"moov", m._box(b"trak", m._box(b"mdia", m._box(
+        b"minf", stbl))))
+    got = m.decode_mp4_mjpeg(ftyp + mdat + moov)
+    assert np.array_equal(got, ref)
