@@ -1,8 +1,11 @@
 """Bench harness: headline throughput of the engine at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
-   "tiles_per_sec": ..., "scaling": {...}}
+Prints ONE compact JSON line (the driver's tail capture is bounded, so the
+final line carries only the gate numbers):
+  {"metric": "...", "value": N, "unit": "sec", "sf": ..., "tiles_per_sec":
+   ..., "n_tiles": ..., "queries_total_sec": ..., "queries_file": ...,
+   "scaling": {...}}
+Per-query timings and the raw scaling trials go to BENCH/queries_latest.json.
 
 Headline metric = tiles/sec through the flagship pipeline (decode +
 segmentation + extraction + greedy spatial matching), the BASELINE.json
@@ -174,10 +177,15 @@ def main() -> None:
             # above, so stop once the min-pair shows a clean ratio
             # (>= 0.85, margin over the 0.8 gate), else keep sampling up to
             # max_pairs and record whatever the data says. Second-tier
-            # exit: after min_pairs + 1, the GATE being met (>= 0.8) is
-            # enough — the extra pairs only polish margin while each costs
-            # two JVM legs, and a dirty box can otherwise force the full
-            # max_pairs ladder (~+5 min) for no change in pass/fail.
+            # exit: after min_pairs + 1, efficiency >= 0.82 (a MARGIN above
+            # the 0.8 gate, not the gate itself — an exit at exactly 0.80
+            # would be optional stopping biased toward recording a pass) —
+            # the extra pairs only polish margin while each costs two JVM
+            # legs, and a dirty box can otherwise force the full max_pairs
+            # ladder (~+5 min) for no change in pass/fail. The exit that
+            # fired and the pair count are recorded in the artifact so a
+            # gate-boundary pass stays auditable.
+            exit_reason = "max_pairs"
             for pair in range(max_pairs):
                 _await_quiet_box()
                 trials_n.append(run_tile_pipeline("local[1]", paths,
@@ -186,8 +194,10 @@ def main() -> None:
                                                    SCALING_GRID, repeats=1))
                 eff = (min(trials_n) / min(trials_4n)) / 4.0
                 if pair + 1 >= min_pairs and eff >= 0.85:
+                    exit_reason = "clean_ratio_0.85"
                     break
-                if pair + 1 >= min_pairs + 1 and eff >= 0.8:
+                if pair + 1 >= min_pairs + 1 and eff >= 0.82:
+                    exit_reason = "margin_0.82"
                     break
         finally:
             os.environ.pop("SPARK_GRAFT_SCAN_TASKS", None)
@@ -201,6 +211,8 @@ def main() -> None:
             "speedup": round(dt_n / dt_4n, 3),
             "efficiency_n_to_4n": round((dt_n / dt_4n) / 4.0, 3),
             "scaling_tiles": n_sc,
+            "pairs_run": len(trials_n),
+            "exit": exit_reason,
             "trials_n_sec": [round(t, 3) for t in trials_n],
             "trials_4n_sec": [round(t, 3) for t in trials_4n],
             f"local{CPUS}_peak_sec": round(dt, 3),
@@ -245,15 +257,28 @@ def main() -> None:
         spark.stop()
 
     total = round(sum(results.values()), 3)
+    # full detail (per-query timings + raw scaling trials) -> a file; the
+    # stdout line stays compact so the driver's bounded tail capture can
+    # parse it (BENCH_r02.json recorded parsed:null because the old
+    # all-in-one line overflowed the capture window).
+    detail_path = os.path.join(REPO, "BENCH", "queries_latest.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump({"sf": sf, "queries": results, "scaling_raw": scaling},
+                  f, indent=1)
+    compact_scaling = {k: v for k, v in scaling.items()
+                       if not k.startswith("trials_")}
     print(json.dumps({
         "metric": "tiles/sec (decode + segment + extract + match)",
         "value": total,
         "unit": "sec",
-        "queries": results,
         "sf": sf,
         "tiles_per_sec": tiles_per_sec,
         "n_tiles": n_tiles,
-        "scaling": scaling,
+        "queries_total_sec": total,
+        "n_queries": len(results),
+        "queries_file": "BENCH/queries_latest.json",
+        "scaling": compact_scaling,
     }))
 
 

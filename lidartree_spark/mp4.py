@@ -121,15 +121,46 @@ def _find(buf: bytes, start: int, end: int, path: list[bytes]) -> tuple[int, int
     raise ValueError(f"missing box {b'/'.join(path).decode()}")
 
 
+def _video_stbl(buf: bytes) -> tuple[int, int]:
+    """stbl extent of the first trak whose hdlr handler_type is 'vide' —
+    NOT simply the first trak: real files often list an audio ('soun')
+    track first and a handler-blind pick would misreport its codec."""
+    video_fourccs = (b"jpeg", b"mjpa", b"MJPG", b"mjpg", b"avc1", b"hvc1",
+                     b"hev1", b"vp09", b"av01", b"mp4v")
+    moov_b, moov_e = _find(buf, 0, len(buf), [b"moov"])
+    for tag, b, e in _walk(buf, moov_b, moov_e):
+        if tag != b"trak":
+            continue
+        try:
+            mdia_b, mdia_e = _find(buf, b, e, [b"mdia"])
+            stbl = _find(buf, mdia_b, mdia_e, [b"minf", b"stbl"])
+        except ValueError:
+            continue
+        try:
+            hdlr_b, _ = _find(buf, mdia_b, mdia_e, [b"hdlr"])
+            if buf[hdlr_b + 8:hdlr_b + 12] == b"vide":
+                return stbl
+        except ValueError:
+            # no hdlr (minimal files): accept if stsd holds a video fourcc
+            try:
+                stsd_b, _ = _find(buf, stbl[0], stbl[1], [b"stsd"])
+                if buf[stsd_b + 12:stsd_b + 16] in video_fourccs:
+                    return stbl
+            except ValueError:
+                pass
+    raise ValueError("no video ('vide' handler) track in MP4")
+
+
 def decode_mp4_mjpeg(buf: bytes) -> np.ndarray:
-    """MP4 bytes -> (n, h, w) uint8. First video track, 'jpeg' samples."""
-    n_end = len(buf)
-    stbl_b, stbl_e = _find(buf, 0, n_end,
-                           [b"moov", b"trak", b"mdia", b"minf", b"stbl"])
+    """MP4 bytes -> (n, h, w) uint8. First VIDEO track ('vide' handler),
+    'jpeg' samples; 32-bit stco and 64-bit co64 chunk offsets."""
+    stbl_b, stbl_e = _video_stbl(buf)
     boxes = {tag: (b, e) for tag, b, e in _walk(buf, stbl_b, stbl_e)}
-    for need in (b"stsd", b"stsz", b"stco", b"stsc"):
+    for need in (b"stsd", b"stsz", b"stsc"):
         if need not in boxes:
             raise ValueError(f"missing box {need.decode()}")
+    if b"stco" not in boxes and b"co64" not in boxes:
+        raise ValueError("missing box stco/co64")
 
     b, _ = boxes[b"stsd"]
     fourcc = buf[b + 12:b + 16]
@@ -145,9 +176,14 @@ def decode_mp4_mjpeg(buf: bytes) -> np.ndarray:
     else:
         sizes = list(struct.unpack_from(f">{count}I", buf, b + 12))
 
-    b, _ = boxes[b"stco"]
-    n_chunks = struct.unpack_from(">I", buf, b + 4)[0]
-    offsets = list(struct.unpack_from(f">{n_chunks}I", buf, b + 8))
+    if b"stco" in boxes:
+        b, _ = boxes[b"stco"]
+        n_chunks = struct.unpack_from(">I", buf, b + 4)[0]
+        offsets = list(struct.unpack_from(f">{n_chunks}I", buf, b + 8))
+    else:  # co64: 64-bit chunk offsets (files > 4 GiB)
+        b, _ = boxes[b"co64"]
+        n_chunks = struct.unpack_from(">I", buf, b + 4)[0]
+        offsets = list(struct.unpack_from(f">{n_chunks}Q", buf, b + 8))
 
     b, _ = boxes[b"stsc"]
     n_ent = struct.unpack_from(">I", buf, b + 4)[0]

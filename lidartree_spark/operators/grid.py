@@ -99,12 +99,27 @@ def _spread_bits(v: Column) -> Column:
     return v
 
 
+def _guard_range(v: Column, axis: str) -> Column:
+    """Fail loudly on out-of-domain grid coords: _spread_bits masks to 25
+    bits, so a coordinate outside [-2^24, 2^24) would otherwise WRAP into a
+    valid-looking but wrong cell and corrupt Z-order pruning ranges
+    undetectably."""
+    return F.when((v >= 0) & (v < F.lit(1 << MORTON_BITS)), v).otherwise(
+        F.raise_error(F.concat(
+            F.lit(f"morton_cell: {axis} grid coordinate out of "
+                  f"[-2^24, 2^24) domain: "),
+            (v - F.lit(MORTON_BIAS)).cast("string"))))
+
+
 def morton_cell(x: Column, y: Column, res: float) -> Column:
     """Finest-level Morton code of a point: bit-interleave of the biased
     integer grid coords floor(x/res), floor(y/res). Pure Catalyst bit
-    arithmetic (shiftleft/and/or) -> whole-stage codegen, no UDF."""
-    cx = (F.floor(x / F.lit(res)).cast("long") + F.lit(MORTON_BIAS))
-    cy = (F.floor(y / F.lit(res)).cast("long") + F.lit(MORTON_BIAS))
+    arithmetic (shiftleft/and/or) -> whole-stage codegen, no UDF.
+    Coordinates outside the 25-bit biased domain raise instead of aliasing."""
+    cx = _guard_range(
+        F.floor(x / F.lit(res)).cast("long") + F.lit(MORTON_BIAS), "x")
+    cy = _guard_range(
+        F.floor(y / F.lit(res)).cast("long") + F.lit(MORTON_BIAS), "y")
     return _spread_bits(cx).bitwiseOR(F.shiftleft(_spread_bits(cy), 1))
 
 

@@ -1938,8 +1938,10 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_views(spark, sf_dir)
     pairs = (spark.sql(_minhash_sql(_SHINGLES_SPARK, "spark"))
              .where("shared_bands >= 2"))
-    edges = pairs.selectExpr("lpad(CAST(doc_a AS STRING), 8, '0') AS a",
-                             "lpad(CAST(doc_b AS STRING), 8, '0') AS b")
+    # pad to full-int64 width (19 digits): lexicographic MIN on the padded
+    # strings must equal numeric MIN for ANY doc_id, not just < 10^8
+    edges = pairs.selectExpr("lpad(CAST(doc_a AS STRING), 19, '0') AS a",
+                             "lpad(CAST(doc_b AS STRING), 19, '0') AS b")
     comps = connected_components(edges)
     lab = comps.selectExpr("CAST(node AS BIGINT) AS doc_id",
                            "CAST(comp AS BIGINT) AS canonical")

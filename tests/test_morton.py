@@ -77,7 +77,7 @@ def test_morton_encode_is_codegen_no_udf(spark):
             ._jdf.queryExecution().executedPlan().toString())
     # "*(n)" prefixes mark whole-stage-codegen stages in toString form
     assert plan.lstrip().startswith("*(")
-    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapsInPandas",
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas",
                 "MapInPandas"):
         assert bad not in plan
 
@@ -125,3 +125,21 @@ def test_zorder_files_pruned_by_code_range(spark, tmp_path):
         if any(s.min < hi and s.max >= lo for s in stats):
             overlapping += 1
     assert 1 <= overlapping < len(files)
+
+
+def test_morton_out_of_domain_raises(spark):
+    """Coordinates outside [-2^24, 2^24) grid units must fail loudly, not
+    alias into a wrong-but-valid cell (silent Z-order corruption)."""
+    import pytest
+    from pyspark.sql import functions as F
+    from lidartree_spark.operators.grid import morton_cell
+
+    df = spark.range(1).select(
+        morton_cell(F.lit(float(1 << 25)), F.lit(0.0), 1.0).alias("c"))
+    with pytest.raises(Exception, match="morton_cell"):
+        df.collect()
+    # in-domain boundary still encodes
+    ok = spark.range(1).select(
+        morton_cell(F.lit(float((1 << 24) - 1)), F.lit(-float(1 << 24)),
+                    1.0).alias("c")).collect()
+    assert ok[0].c >= 0

@@ -390,3 +390,63 @@ def test_mp4_multi_chunk_sample_table():
         b"minf", stbl))))
     got = m.decode_mp4_mjpeg(ftyp + mdat + moov)
     assert np.array_equal(got, ref)
+
+
+def test_mp4_audio_trak_first_and_co64():
+    """A file whose first trak is audio ('soun' hdlr) must still decode the
+    video track, and 64-bit co64 chunk offsets must be honored. Rebuild the
+    encoder's output with (a) a dummy audio trak prepended and (b) stco
+    replaced by an equivalent co64."""
+    import struct
+
+    from lidartree_spark import mp4 as m
+
+    src = FakeDecoder.video("mp4-soun", 16, 12, 2)
+    buf = m.encode_mp4_mjpeg(src, quality=95)
+    ref = m.decode_mp4_mjpeg(buf)
+
+    # split the encoder's file into (pre-moov bytes, moov payload)
+    moov_b, moov_e = m._find(buf, 0, len(buf), [b"moov"])
+    pre = buf[:moov_b - 8]
+    moov_payload = buf[moov_b:moov_e]
+
+    # minimal audio trak: hdlr says 'soun'; no stbl needed for the test
+    soun_hdlr = m._full(b"hdlr", 0, 0, struct.pack(">4x") + b"soun"
+                        + struct.pack(">12x") + b"aud\x00")
+    audio_trak = m._box(b"trak", m._box(b"mdia", soun_hdlr))
+    moov2 = m._box(b"moov", audio_trak + moov_payload)
+    got = m.decode_mp4_mjpeg(pre + moov2)
+    assert np.array_equal(got, ref)
+
+    # co64 variant: same offsets, 64-bit entries. stco payload layout is
+    # version/flags(4) count(4) offsets(4*n); co64 widens offsets to 8.
+    stbl_b, stbl_e = m._video_stbl(buf)
+    boxes = {t: (b, e) for t, b, e in m._walk(buf, stbl_b, stbl_e)}
+    sb, se = boxes[b"stco"]
+    n = struct.unpack_from(">I", buf, sb + 4)[0]
+    offs = struct.unpack_from(f">{n}I", buf, sb + 8)
+    co64 = m._full(b"co64", 0, 0, struct.pack(">I", n)
+                   + b"".join(struct.pack(">Q", o) for o in offs))
+    old_stco = buf[sb - 8:se]
+    assert buf.count(old_stco) == 1
+    buf64 = buf.replace(old_stco, co64)
+    # co64 is 4*n bytes longer, so every enclosing box size must grow too —
+    # easiest correct rebuild: decode with offsets unchanged requires mdat
+    # before moov (it is), and the moov subtree sizes fixed up. Rebuild the
+    # moov tree instead of patching sizes by hand.
+    grow = len(co64) - len(old_stco)
+    fixed = bytearray(buf64)
+    # walk from the top: every box that CONTAINS the stco position grows
+    pos = buf.find(old_stco)
+    off = 0
+    while off + 8 <= len(buf):
+        size = struct.unpack_from(">I", buf, off)[0]
+        if off < pos < off + size:  # encloses the swapped box
+            # same box starts at the same offset in buf64 (everything
+            # before stco is unchanged)
+            struct.pack_into(">I", fixed, off, size + grow)
+            off += 8  # descend
+        else:
+            off += size
+    got64 = m.decode_mp4_mjpeg(bytes(fixed))
+    assert np.array_equal(got64, ref)
