@@ -30,7 +30,11 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    from lidartree_spark.queries import TABLES, oracle_sql, queries
+    from lidartree_spark.queries import (
+        TABLES,
+        oracle_sql_extended as oracle_sql,
+        queries,
+    )
     from lidartree_spark.session import get_spark
 
     spark = get_spark("oracle-check", master="local[8]")
