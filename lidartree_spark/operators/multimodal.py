@@ -151,14 +151,19 @@ def image_features(media: DataFrame, resize_to: int = 16) -> DataFrame:
             out = []
             for rec in pdf.itertuples(index=False):
                 img = decode_image_array(rec)
-                g = img.mean(axis=2)
+                # float64 accumulators: f32 accumulation loses precision on
+                # large images, and exact-valued (integer/dyadic) pixels
+                # stay EXACT through every reduction — which is what makes
+                # the multimodal_image_features DuckDB gate possible
+                g = img.mean(axis=2, dtype=np.float64)
                 thumb = resize_bilinear(g[..., None], resize_to, resize_to)
                 gy, gx = np.gradient(g)
                 out.append({
                     "media_id": rec.media_id,
-                    "mean": float(np.nanmean(g)),
-                    "std": float(np.nanstd(g)),
-                    "grad_energy": float(np.nanmean(gx * gx + gy * gy)),
+                    "mean": float(np.nanmean(g, dtype=np.float64)),
+                    "std": float(np.nanstd(g, dtype=np.float64)),
+                    "grad_energy": float(np.nanmean(gx * gx + gy * gy,
+                                                    dtype=np.float64)),
                     "thumb": thumb.ravel().astype(np.float32).tolist(),
                 })
             yield pd.DataFrame(out, columns=["media_id", "mean", "std",

@@ -33,6 +33,20 @@ def _planes(dim: int, n_tables: int, n_bits: int, seed: int = 97) -> np.ndarray:
     return rng.normal(size=(n_tables, n_bits, dim))
 
 
+def srp_planes_int(n_tables: int, n_bits: int, dim: int) -> np.ndarray:
+    """Deterministic INTEGER SRP hyperplanes via an LCG over the (bit, dim)
+    index — the same formula the DuckDB oracle re-derives in SQL
+    (queries.py ann_lsh / embedding_neardup), so bucket assignment is
+    exactly cross-checkable when the vectors are integer-quantized:
+    w[p, j] = (1103515245 * (p*dim + j + 7) + 12345) % 2^31 - 2^30,
+    p = table*n_bits + bit. All arithmetic stays in int64."""
+    p = np.arange(n_tables * n_bits, dtype=np.int64)
+    j = np.arange(dim, dtype=np.int64)
+    idx = p[:, None] * dim + j[None, :] + 7
+    w = (1103515245 * idx + 12345) % 2147483648 - 1073741824
+    return w.reshape(n_tables, n_bits, dim)
+
+
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine top-k: broadcast the query set, JVM-side zip_with dot
@@ -56,11 +70,13 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 
 def _bucketize(df: DataFrame, id_col: str, vec_col: str, n_tables: int,
-               n_bits: int, seed: int) -> DataFrame:
+               n_bits: int, seed: int,
+               planes: np.ndarray | None = None) -> DataFrame:
     out_schema = f"{id_col} long, table int, bucket long"
+    fixed = planes
 
     def run(batches):
-        planes = None
+        planes = fixed
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -160,7 +176,9 @@ def _assign_cells(df: DataFrame, centroids: np.ndarray, nprobe: int,
                 continue
             vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
             d2 = ((vecs[:, None, :] - centroids[None, :, :]) ** 2).sum(2)
-            near = np.argsort(d2, axis=1)[:, :nprobe]
+            # stable sort: exact-d2 ties resolve to the lowest centroid id
+            # deterministically (and re-derivably: ORDER BY d2, cid)
+            near = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
             ids = np.repeat(pdf[id_col].to_numpy(), nprobe)
             yield pd.DataFrame({out_id: ids, "cid": near.ravel()})
 
@@ -207,13 +225,19 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
 
 def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
              n_tables: int = 32, n_bits: int = 6, seed: int = 97,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             planes: np.ndarray | None = None) -> DataFrame:
     """Approximate top-k: candidates = union over L tables of same-bucket
     rows, exact cosine rerank. Recall grows with n_tables (see
-    tests/test_similarity.py for the measured recall floor)."""
-    qb = _bucketize(queries, id_col, vec_col, n_tables, n_bits, seed) \
+    tests/test_similarity.py for the measured recall floor). `planes`
+    overrides the seeded Gaussian hyperplanes — with srp_planes_int and
+    integer-quantized vectors the whole pipeline is exactly re-derivable
+    in SQL (the ann_lsh DuckDB gate)."""
+    qb = _bucketize(queries, id_col, vec_col, n_tables, n_bits, seed,
+                    planes) \
         .withColumnRenamed(id_col, "qid")
-    bb = _bucketize(embeddings, id_col, vec_col, n_tables, n_bits, seed)
+    bb = _bucketize(embeddings, id_col, vec_col, n_tables, n_bits, seed,
+                    planes)
     cand = (bb.join(F.broadcast(qb), ["table", "bucket"])
             .where(F.col("qid") != F.col(id_col))
             .select("qid", id_col).distinct())

@@ -1537,52 +1537,326 @@ _EXTENDED = {
 }
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate nearest neighbors (scale path; recall vs
-    brute force asserted in tests/test_similarity_multimodal_checkpoint.py).
-    The exact baseline has a DuckDB oracle as `embedding_topk`."""
-    from lidartree_spark.operators.similarity import lsh_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_topk(emb, emb.where("vec_id < 8"), k=5)
+    """Similarity search driver gate: the REAL lsh_topk operator
+    (mapInPandas SRP bucketize -> one (table, bucket) equi-join -> exact
+    rerank -> window top-k) AND the exact brute-force baseline, side by
+    side as method='lsh' / method='exact' rows — the gate IS the recall
+    evidence. Exactly re-derivable because (a) vectors are quantized to
+    int64 (integer sums are exact in f64 in any order), (b) hyperplanes
+    are the deterministic integer LCG that the DuckDB oracle rebuilds in
+    SQL (srp_planes_int == the _ANN_LSH_DUCK bits CTE), and (c) cosine is
+    composed as dot/(sqrt(na)*sqrt(nb)) in BOTH engines (same IEEE ops ->
+    identical doubles)."""
+    from lidartree_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        srp_planes_int,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(ROUND(x * 10000, 0) AS BIGINT))"
+        " AS embedding")
+    q = emb.where("vec_id < 8")
+    planes = srp_planes_int(n_tables=8, n_bits=8, dim=64)
+    lsh = lsh_topk(emb, q, k=5, n_tables=8, n_bits=8, planes=planes) \
+        .select(F.lit("lsh").alias("method"), "qid", "vec_id",
+                F.col("rk").cast("long").alias("rk"),
+                F.round("cosine", 6).alias("cosine"))
+    exact = brute_force_topk(emb, q, k=5) \
+        .select(F.lit("exact").alias("method"), "qid", "vec_id",
+                F.col("rk").cast("long").alias("rk"),
+                F.round("cosine", 6).alias("cosine"))
+    return exact.unionByName(lsh)
+
+
+_ANN_LSH_DUCK = """
+WITH corpus AS (
+  SELECT vec_id AS id,
+         list_transform(range(1, 65),
+                        i -> CAST(ROUND(embedding[i] * 10000) AS BIGINT)) AS v
+  FROM embeddings
+), q AS (
+  SELECT * FROM corpus WHERE id < 8
+), scored_exact AS (
+  SELECT q.id AS qid, c.id AS vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                                      i -> q.v[i] * c.v[i])) AS DOUBLE)
+         / (SQRT(CAST(list_sum(list_transform(q.v, a -> a * a)) AS DOUBLE))
+            * SQRT(CAST(list_sum(list_transform(c.v, a -> a * a)) AS DOUBLE)))
+           AS cosine
+  FROM q JOIN corpus c ON c.id != q.id
+), exact_rk AS (
+  SELECT 'exact' AS method, qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id) AS rk,
+         cosine
+  FROM scored_exact
+), bits AS (
+  SELECT id, p,
+         CASE WHEN list_sum(list_transform(range(1, 65),
+                i -> v[i] * ((1103515245 * (p * 64 + (i - 1) + 7) + 12345)
+                             % 2147483648 - 1073741824))) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM corpus, range(0, 64) pt(p)
+), bands AS (
+  SELECT id, CAST(FLOOR(p / 8.0) AS INT) AS b,
+         SUM(CASE WHEN bit = 1 THEN CAST(POW(2, p % 8) AS BIGINT)
+                  ELSE 0 END) AS band_val
+  FROM bits GROUP BY id, CAST(FLOOR(p / 8.0) AS INT)
+), cand AS (
+  SELECT qb.id AS qid, cb.id AS vec_id
+  FROM bands qb JOIN bands cb
+    ON cb.b = qb.b AND cb.band_val = qb.band_val
+  WHERE qb.id < 8 AND cb.id != qb.id
+  GROUP BY qb.id, cb.id
+), scored_lsh AS (
+  SELECT cd.qid, cd.vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                                      i -> x.v[i] * y.v[i])) AS DOUBLE)
+         / (SQRT(CAST(list_sum(list_transform(x.v, a -> a * a)) AS DOUBLE))
+            * SQRT(CAST(list_sum(list_transform(y.v, a -> a * a)) AS DOUBLE)))
+           AS cosine
+  FROM cand cd
+  JOIN corpus x ON x.id = cd.qid
+  JOIN corpus y ON y.id = cd.vec_id
+), lsh_rk AS (
+  SELECT 'lsh' AS method, qid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id) AS rk,
+         cosine
+  FROM scored_lsh
+)
+SELECT method, qid, vec_id, CAST(rk AS BIGINT) AS rk,
+       ROUND(cosine, 6) AS cosine
+FROM (SELECT * FROM exact_rk UNION ALL SELECT * FROM lsh_rk) u
+WHERE rk <= 5
+"""
 
 
 def _ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate nearest neighbors (scale path #2:
-    centroid-partitioned cells + nprobe search; recall + full-probe
-    exactness asserted in tests/test_similarity_multimodal_checkpoint.py)."""
-    from lidartree_spark.operators.similarity import ivf_topk
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return ivf_topk(emb, emb.where("vec_id < 8"), k=5, n_centroids=16,
-                    nprobe=4)
+    """IVF driver gate: the REAL ivf_topk operator (vectorized cell
+    assignment, nprobe cell pruning, broadcast candidate join, exact
+    rerank, window top-k) with a FIXED deterministic codebook — the
+    operator's own md5-ordered init (train_centroids, iters=0) — so DuckDB
+    re-derives codebook selection, nearest-cell assignment (all-integer
+    d2, ties to the lowest cell id), the nprobe probe set, and the rerank.
+    Lloyd training itself is pinned separately by pytest (full-probe ==
+    brute force + recall floor, tests/test_similarity_multimodal_
+    checkpoint.py); this gate pins the search path the 100 TB plan relies
+    on."""
+    from lidartree_spark.operators.similarity import (
+        ivf_topk,
+        train_centroids,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(ROUND(x * 10000, 0) AS BIGINT))"
+        " AS embedding")
+    cen = train_centroids(emb, n_centroids=16, iters=0, seed=131)
+    out = ivf_topk(emb, emb.where("vec_id < 8"), k=5, nprobe=4,
+                   centroids=cen)
+    return out.select("qid", "vec_id", F.col("rk").cast("long").alias("rk"),
+                      F.round("cosine", 6).alias("cosine"))
+
+
+_ANN_IVF_DUCK = """
+WITH corpus AS (
+  SELECT vec_id AS id,
+         list_transform(range(1, 65),
+                        i -> CAST(ROUND(embedding[i] * 10000) AS BIGINT)) AS v
+  FROM embeddings
+), cen AS (
+  SELECT v AS cv, cid FROM (
+    SELECT v, ROW_NUMBER() OVER (
+             ORDER BY md5('131|' || CAST(id AS VARCHAR))) - 1 AS cid
+    FROM corpus) t
+  WHERE cid < 16
+), d2 AS (
+  SELECT c.id, n.cid,
+         list_sum(list_transform(range(1, 65),
+                  i -> (c.v[i] - n.cv[i]) * (c.v[i] - n.cv[i]))) AS d2
+  FROM corpus c, cen n
+), ranked AS (
+  SELECT id, cid,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+  FROM d2
+), base_cells AS (
+  SELECT id AS vec_id, cid FROM ranked WHERE rn = 1
+), query_cells AS (
+  SELECT id AS qid, cid FROM ranked WHERE rn <= 4 AND id < 8
+), cand AS (
+  SELECT q.qid, b.vec_id
+  FROM query_cells q JOIN base_cells b ON b.cid = q.cid
+  WHERE b.vec_id != q.qid
+  GROUP BY q.qid, b.vec_id
+), scored AS (
+  SELECT cd.qid, cd.vec_id,
+         CAST(list_sum(list_transform(range(1, 65),
+                                      i -> x.v[i] * y.v[i])) AS DOUBLE)
+         / (SQRT(CAST(list_sum(list_transform(x.v, a -> a * a)) AS DOUBLE))
+            * SQRT(CAST(list_sum(list_transform(y.v, a -> a * a)) AS DOUBLE)))
+           AS cosine
+  FROM cand cd
+  JOIN corpus x ON x.id = cd.qid
+  JOIN corpus y ON y.id = cd.vec_id
+)
+SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk, ROUND(cosine, 6) AS cosine
+FROM (
+  SELECT qid, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cosine DESC, vec_id) AS rk
+  FROM scored) t
+WHERE rk <= 5
+"""
+
+_DIALECT["ann_ivf"] = (_ann_ivf, _ANN_IVF_DUCK)
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image decode->resize->feature plumbing (png/raw decoded for real,
-    see operators/multimodal.py). The `thumb array<float>` column is
-    projected down to canonicalizable scalars (L2 norm + element md5) so
-    the driver's sort-based canonicalizer can hash the result."""
-    from pyspark.sql import functions as F
+    """The REAL image_features operator (decode -> bilinear resize ->
+    mean/std/gradient-energy + thumbnail embedding, one Arrow-batched
+    mapInPandas pass) on analytic raw_f32 images, vs a fully relational
+    oracle (_MULTIMODAL_DUCK) that re-derives EVERY value from first
+    principles — np.gradient's clamped central differences, the two-pass
+    std, and the separable bilinear kernel itself (4-term clamped weighted
+    sum per thumbnail pixel).
 
-    from lidartree_spark.operators.multimodal import (
-        image_features,
-        synthetic_media,
-    )
-    media = synthetic_media(spark, 24)
-    feats = image_features(media.where("kind = 'image'"))
+    Exactness argument: pixels are small integers, pixel counts are powers
+    of two, and the resize coordinates (k+0.5)*h/16 - 0.5 are dyadic
+    rationals, so every reduction in the operator's float64 accumulators
+    is EXACT (order-independent) and the f32 thumbnail cast is the same
+    correctly-rounded value DuckDB's CAST(.. AS REAL) produces. ROUND(,6)
+    on both sides only guards the final sqrt ulp.
+
+    The PNG/JPEG decode paths feeding the same operator are pinned by
+    tiles_roundtrip_stats (driver gate) and the pytest media suite."""
+    import pandas as pd
+
+    from lidartree_spark.operators.multimodal import image_features
+
+    def gen(batches):
+        import numpy as np
+        from lidartree_spark.codecs import encode_tile
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                t = int(t)
+                w = (16, 32, 64)[t % 3]
+                h = (32, 16, 64)[(t + 1) % 3]
+                ii, jj = np.meshgrid(np.arange(h), np.arange(w),
+                                     indexing="ij")
+                z = ((ii * 37 + jj * 61 + t * 29) % 23).astype(np.float32)
+                out.append({"media_id": f"m{t:04d}",
+                            "bytes": encode_tile(z, "raw_f32"),
+                            "fmt": "raw_f32", "width": w, "height": h,
+                            "channels": 1})
+            yield pd.DataFrame(out, columns=["media_id", "bytes", "fmt",
+                                             "width", "height", "channels"])
+
+    media = spark.range(16).repartition(8).mapInPandas(
+        gen, schema=("media_id string, bytes binary, fmt string, "
+                     "width int, height int, channels int"))
+    feats = image_features(media)
     return feats.select(
         "media_id",
         F.round("mean", 6).alias("mean"),
         F.round("std", 6).alias("std"),
         F.round("grad_energy", 6).alias("grad_energy"),
-        F.size("thumb").alias("thumb_len"),
+        F.size("thumb").cast("long").alias("thumb_len"),
+        F.round(F.aggregate(
+            "thumb", F.lit(0.0),
+            lambda acc, x: acc + x.cast("double")), 6).alias("thumb_sum"),
         F.round(
             F.sqrt(F.aggregate(
                 "thumb", F.lit(0.0),
                 lambda acc, x: acc + x.cast("double") * x.cast("double"))),
             6).alias("thumb_norm"),
-        F.md5(F.concat_ws(",", F.transform(
-            "thumb", lambda x: F.format_number(x.cast("double"), 4)))
-        ).alias("thumb_md5"),
     )
+
+
+_MULTIMODAL_DUCK = """
+WITH dims AS (
+  SELECT t,
+         CASE t % 3 WHEN 0 THEN 16 WHEN 1 THEN 32 ELSE 64 END AS w,
+         CASE (t + 1) % 3 WHEN 0 THEN 32 WHEN 1 THEN 16 ELSE 64 END AS h
+  FROM UNNEST(generate_series(0, 15)) tt(t)
+), px AS (
+  SELECT d.t, d.w, d.h, i, j,
+         CAST((i * 37 + j * 61 + d.t * 29) % 23 AS DOUBLE) AS z
+  FROM dims d,
+       UNNEST(generate_series(0, 63)) ii(i),
+       UNNEST(generate_series(0, 63)) jj(j)
+  WHERE i < d.h AND j < d.w
+), grad AS (
+  -- np.gradient: one-sided at the edges (divisor 1), central elsewhere
+  SELECT p.t, p.i, p.j,
+         (py1.z - py0.z) / (CASE WHEN p.i = 0 OR p.i = p.h - 1
+                                 THEN 1.0 ELSE 2.0 END) AS gy,
+         (px1.z - px0.z) / (CASE WHEN p.j = 0 OR p.j = p.w - 1
+                                 THEN 1.0 ELSE 2.0 END) AS gx
+  FROM px p
+  JOIN px py0 ON py0.t = p.t AND py0.j = p.j
+             AND py0.i = GREATEST(p.i - 1, 0)
+  JOIN px py1 ON py1.t = p.t AND py1.j = p.j
+             AND py1.i = LEAST(p.i + 1, p.h - 1)
+  JOIN px px0 ON px0.t = p.t AND px0.i = p.i
+             AND px0.j = GREATEST(p.j - 1, 0)
+  JOIN px px1 ON px1.t = p.t AND px1.i = p.i
+             AND px1.j = LEAST(p.j + 1, p.w - 1)
+), stats AS (
+  SELECT t,
+         SUM(z) / COUNT(*) AS mean,
+         SQRT(SUM((z - m.mean) * (z - m.mean)) / COUNT(*)) AS std
+  FROM px, LATERAL (
+    SELECT SUM(z) / COUNT(*) AS mean FROM px p2 WHERE p2.t = px.t) m
+  GROUP BY t, m.mean
+), ge AS (
+  SELECT t, SUM(gx * gx + gy * gy) / COUNT(*) AS grad_energy
+  FROM grad GROUP BY t
+), coords AS (
+  SELECT d.t, d.w, d.h, ky, kx,
+         (ky + 0.5) * d.h / 16.0 - 0.5 AS ys,
+         (kx + 0.5) * d.w / 16.0 - 0.5 AS xs
+  FROM dims d,
+       UNNEST(generate_series(0, 15)) yy(ky),
+       UNNEST(generate_series(0, 15)) xx(kx)
+), thumb AS (
+  -- the exact 4-term clamped bilinear sum, f32-cast like the operator
+  SELECT c.t, c.ky, c.kx,
+         CAST(za.z * (1 - wy.v) * (1 - wx.v) + zb.z * (1 - wy.v) * wx.v
+              + zc.z * wy.v * (1 - wx.v) + zd.z * wy.v * wx.v
+              AS REAL) AS th
+  FROM coords c,
+  LATERAL (SELECT LEAST(GREATEST(CAST(FLOOR(c.ys) AS BIGINT), 0),
+                        c.h - 1) AS v) y0,
+  LATERAL (SELECT LEAST(y0.v + 1, c.h - 1) AS v) y1,
+  LATERAL (SELECT LEAST(GREATEST(CAST(FLOOR(c.xs) AS BIGINT), 0),
+                        c.w - 1) AS v) x0,
+  LATERAL (SELECT LEAST(x0.v + 1, c.w - 1) AS v) x1,
+  LATERAL (SELECT LEAST(GREATEST(c.ys - y0.v, 0), 1) AS v) wy,
+  LATERAL (SELECT LEAST(GREATEST(c.xs - x0.v, 0), 1) AS v) wx,
+  LATERAL (SELECT z FROM px WHERE t = c.t AND i = y0.v AND j = x0.v) za,
+  LATERAL (SELECT z FROM px WHERE t = c.t AND i = y0.v AND j = x1.v) zb,
+  LATERAL (SELECT z FROM px WHERE t = c.t AND i = y1.v AND j = x0.v) zc,
+  LATERAL (SELECT z FROM px WHERE t = c.t AND i = y1.v AND j = x1.v) zd
+), tstats AS (
+  SELECT t, CAST(COUNT(*) AS BIGINT) AS thumb_len,
+         ROUND(SUM(CAST(th AS DOUBLE)), 6) AS thumb_sum,
+         ROUND(SQRT(SUM(CAST(th AS DOUBLE) * CAST(th AS DOUBLE))), 6)
+           AS thumb_norm
+  FROM thumb GROUP BY t
+)
+SELECT printf('m%04d', s.t) AS media_id,
+       ROUND(s.mean, 6) AS mean, ROUND(s.std, 6) AS std,
+       ROUND(g.grad_energy, 6) AS grad_energy,
+       ts.thumb_len, ts.thumb_sum, ts.thumb_norm
+FROM stats s
+JOIN ge g ON g.t = s.t
+JOIN tstats ts ON ts.t = s.t
+"""
+
+_DIALECT["multimodal_image_features"] = (_multimodal_features,
+                                         _MULTIMODAL_DUCK)
 
 
 def _checkpointed_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2853,6 +3127,8 @@ def _points2dtm_tin_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
                              schema="col int, i int, j int, z double")
 
 
+_DIALECT["ann_lsh"] = (_ann_lsh, _ANN_LSH_DUCK)
+
 _NO_ORACLE = {
     "north_star_chain": _north_star_chain,
     "tree_detect_tiles": _flagship_detect,
@@ -2864,9 +3140,6 @@ _NO_ORACLE = {
     "gap_detection": _gap_detect,
     "gap_detection_global": _gap_detect_global,
     "coregistration": _coregistration,
-    "ann_lsh": _ann_lsh,
-    "ann_ivf": _ann_ivf,
-    "multimodal_image_features": _multimodal_features,
     "checkpointed_detect": _checkpointed_detect,
     "points_to_tiles_detect": _points_to_tiles,
     "points2dtm_normalize_detect": _points2dtm_normalize_detect,

@@ -12,10 +12,12 @@ from lidartree_spark.queries import queries
 
 SF = "/root/testdata/sf0.001"
 
-# embedding_topk is the EXACT brute-force gate: CROSS JOIN of an 8-row
+# embedding_topk (and the method='exact' half of the ann_lsh gate, which
+# embeds it) is the EXACT brute-force baseline: CROSS JOIN of an 8-row
 # broadcast query side against the corpus — O(|Q| * n) scan, not O(n^2);
-# the scale paths are ann_lsh / ann_ivf / embedding_neardup (all bucketed).
-NESTED_LOOP_OK = {"embedding_topk"}
+# the scale paths are ann_lsh's lsh half / ann_ivf / embedding_neardup
+# (all bucketed).
+NESTED_LOOP_OK = {"embedding_topk", "ann_lsh"}
 
 
 @pytest.mark.parametrize("name", sorted(queries()))

@@ -55,9 +55,9 @@ def test_multimodal_gate_is_canonicalizable(spark):
     array<float> column)."""
     df = queries()["multimodal_image_features"](spark, SF)
     pdf = df.toPandas()
-    assert len(pdf) == 8
+    assert len(pdf) == 16
     # this raised TypeError: unhashable type 'list' before the fix
     canon = pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
     assert canon.thumb_len.eq(256).all()
     assert canon.thumb_norm.gt(0).all()
-    assert canon.thumb_md5.str.len().eq(32).all()
+    assert canon["std"].gt(0).all()
