@@ -1229,6 +1229,172 @@ def _north_star_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "true_detections", "false_detections", "omissions"))
 
 
+_MORTON_TERMS = " + ".join(
+    f"((cx >> {b}) & 1) * {1 << (2 * b)} + "
+    f"((cy >> {b}) & 1) * {1 << (2 * b + 1)}"
+    for b in range(25))
+
+
+def _spike_tiles(spark: SparkSession) -> DataFrame:
+    """The analytic spike corpus both composite gates run on: a 4x4 tile
+    grid (input_hint schema: image_id, bytes, w, h, fmt, caption, phash)
+    of 64x64 raw_f32 tiles — flat ground with one-pixel spikes 32 px
+    apart at local (8/40, 8/40), height 10 + (R*7 + C*11) % 16 for global
+    spike indices (R, C). See _north_star_stats for why the detection
+    chain's output on this field is closed-form."""
+    import pandas as pd
+
+    def gen(batches):
+        import numpy as np
+        from lidartree_spark.codecs import encode_tile
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                t = int(t)
+                row, col = t // 4, t % 4
+                z = np.zeros((64, 64), np.float32)
+                for bi in (0, 1):
+                    for bj in (0, 1):
+                        rr, cc = row * 2 + bi, col * 2 + bj
+                        z[8 + 32 * bi, 8 + 32 * bj] = \
+                            10 + (rr * 7 + cc * 11) % 16
+                tid = f"t{row:04d}_{col:04d}"
+                out.append({"image_id": tid,
+                            "bytes": encode_tile(z, "raw_f32"),
+                            "w": 64, "h": 64, "fmt": "raw_f32",
+                            "caption": f"spike tile {tid}",
+                            "phash": t})
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h",
+                                             "fmt", "caption", "phash"])
+
+    from lidartree_spark.operators.tiles import TILES_SCHEMA
+    return spark.range(16).repartition(8).mapInPandas(gen,
+                                                      schema=TILES_SCHEMA)
+
+
+def _north_star_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE north-star chain — halo exchange, the real
+    decode->dem_filtering->maxima->watershed->seg_adjust->tree_extraction
+    kernels, crop-to-core dedup, exact ROI clip, Morton cell assignment,
+    grid-bucketed greedy matching, skew-salted zone join, (cell, image)
+    aggregation — as ONE plan with a full DuckDB oracle.
+
+    Construction that makes the chain analytically invertible (planted
+    single-pixel spikes on flat ground, 32 px apart, integer heights
+    10..25):
+    - grey closing (disk 5) is IDENTITY on isolated spikes (dilation
+      spreads a spike to a radius-2 plateau; erosion shrinks it back), so
+      filled_dem == the planted field and extracted h == the exact
+      planted integer (tree_detection.R:294-389 semantics);
+    - Gaussian smoothing turns each spike into a 5x5 bump whose center is
+      the strict window max at every tested radius (spacing 32 px >
+      max_radius 11 px), so dom_radius == (11+1)*0.5 == 6.0 for every
+      tree (tree_detection.R:425-499);
+    - flat-ground maxima become watershed seeds but their segments have
+      chm max 0 < min_maxvalue, so seg_adjust drops them, and spike
+      segments are trimmed to exactly the spike pixel (chm < max(prop*h,
+      min_value) elsewhere) -> s == res^2, v == h*res^2, independent of
+      watershed tie-breaking on the flat region (tree_detection.R:930-942);
+    - spikes sit 4.25/20.25 m into each 32 m tile, so halo'd detection +
+      crop-to-core yields each exactly once, and the ROI rectangle
+      (5..100)^2 clips columns C in {0,6,7} and rows R in {6,7} with
+      >=0.25 m boundary margin;
+    - refs are the spikes shifted (+0.3, -0.4, +0.5 m) -> every in-ROI
+      detection matches its own ref (cost ~0.02 << 1) and nothing else
+      (nearest foreign spike 16 m -> cost capped at 1), so the confusion
+      counts are closed-form (tree_match.R:47-103, :201-232).
+    DuckDB re-derives the surviving apex set, the Morton interleave (the
+    50-term per-bit sum), the zone key, and every aggregate."""
+    import pandas as pd
+
+    from lidartree_spark.operators.detection import tree_detection_catalog
+    from lidartree_spark.operators.grid import morton_cell, morton_parent
+    from lidartree_spark.operators.matching import (
+        detection_counts,
+        match_trees,
+    )
+
+    tiles = _spike_tiles(spark)
+    roi = "POLYGON ((5 5, 100 5, 100 100, 5 100, 5 5))"
+    det = tree_detection_catalog(tiles, roi, halo_px=16)
+
+    refs = spark.range(64).selectExpr(
+        "id AS tree_id",
+        "CAST(id DIV 8 AS INT) AS R",
+        "CAST(id % 8 AS INT) AS C",
+    ).selectExpr(
+        "printf('t%04d_%04d', R DIV 2, C DIV 2) AS image_id",
+        "tree_id",
+        "32 * (C DIV 2) + 4.25 + 16 * (C % 2) + 0.3 AS x",
+        "32 * (R DIV 2) + 27.75 - 16 * (R % 2) - 0.4 AS y",
+        "CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) + 0.5 AS h",
+    )
+    matched = match_trees(refs, det)
+    counts = detection_counts(refs, det, matched)
+
+    cells = det.select(
+        "image_id", "h", "v",
+        morton_parent(morton_cell(F.col("x"), F.col("y"), 1.0), 5)
+        .alias("cell"))
+    zones = spark.range(7).select(
+        F.col("id").alias("zone_id"),
+        F.concat(F.lit("zone_"), F.col("id")).alias("zone"))
+    from lidartree_spark.operators.grid import salted_join
+    heavy = cells.withColumn("zone_id", F.pmod(F.col("cell"), F.lit(7)))
+    joined = salted_join(heavy, zones, on=["zone_id"], salt_src="cell")
+    agg = (joined.groupBy("cell", "image_id")
+           .agg(F.count("*").cast("long").alias("n_trees"),
+                F.round(F.avg("h"), 6).alias("mean_h"),
+                F.round(F.sum("v"), 6).alias("sum_v"),
+                F.first("zone").alias("zone")))
+    return (agg.join(F.broadcast(counts), "image_id")
+            .select("cell", "image_id", "zone", "n_trees", "mean_h", "sum_v",
+                    F.col("true_detections").cast("long")
+                    .alias("true_detections"),
+                    F.col("false_detections").cast("long")
+                    .alias("false_detections"),
+                    F.col("omissions").cast("long").alias("omissions")))
+
+
+_NORTH_STAR_DUCK = """
+WITH sp AS (
+  SELECT R, C,
+         32 * (R // 2) AS trow_off,
+         CAST(32 * (C // 2) + 4.25 + 16 * (C % 2) AS DOUBLE) AS x,
+         CAST(32 * (R // 2) + 27.75 - 16 * (R % 2) AS DOUBLE) AS y,
+         CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) AS h,
+         printf('t%04d_%04d', R // 2, C // 2) AS image_id
+  FROM UNNEST(generate_series(0, 7)) rr(R),
+       UNNEST(generate_series(0, 7)) cc2(C)
+), dets AS (
+  SELECT * FROM sp
+  WHERE x > 5 AND x < 100 AND y > 5 AND y < 100
+), counts AS (
+  SELECT image_id, CAST(COUNT(*) AS BIGINT) AS tp FROM dets GROUP BY image_id
+), enc AS (
+  SELECT image_id, h,
+         CAST(FLOOR(x) AS BIGINT) + 16777216 AS cx,
+         CAST(FLOOR(y) AS BIGINT) + 16777216 AS cy
+  FROM dets
+), cells AS (
+  SELECT image_id, h, (%%MORTON_TERMS%%) >> 10 AS cell FROM enc
+), agg AS (
+  SELECT cell, image_id,
+         'zone_' || CAST(cell % 7 AS VARCHAR) AS zone,
+         CAST(COUNT(*) AS BIGINT) AS n_trees,
+         ROUND(AVG(h), 6) AS mean_h,
+         ROUND(SUM(h * 0.25), 6) AS sum_v
+  FROM cells GROUP BY cell, image_id
+)
+SELECT a.cell, a.image_id, a.zone, a.n_trees, a.mean_h, a.sum_v,
+       c.tp AS true_detections,
+       CAST(0 AS BIGINT) AS false_detections,
+       CAST(4 - c.tp AS BIGINT) AS omissions
+FROM agg a JOIN counts c ON c.image_id = a.image_id
+""".replace("%%MORTON_TERMS%%", _MORTON_TERMS)
+
+
+
 def _flagship_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tiles -> detected trees, grid size seeded from the testdata scale."""
     from lidartree_spark.operators.detection import detect_trees
@@ -2327,10 +2493,6 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # negative coords to exercise the bias. range_ok asserts the S2 contiguity
 # invariant (all descendants of a parent occupy ONE code range — what makes
 # Z-ordered file pruning work); sub_cells pins the mid-level hierarchy.
-_MORTON_TERMS = " + ".join(
-    f"((cx >> {b}) & 1) * {1 << (2 * b)} + "
-    f"((cy >> {b}) & 1) * {1 << (2 * b + 1)}"
-    for b in range(25))
 
 _CELL_INDEX_DUCK = f"""
 WITH pts AS (
@@ -3128,6 +3290,7 @@ def _points2dtm_tin_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DIALECT["ann_lsh"] = (_ann_lsh, _ANN_LSH_DUCK)
+_DIALECT["north_star_stats"] = (_north_star_stats, _NORTH_STAR_DUCK)
 
 _NO_ORACLE = {
     "north_star_chain": _north_star_chain,
@@ -3264,10 +3427,60 @@ SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
 FROM events GROUP BY user_id
 """
 
+def _streaming_detect_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming detection with checkpoint-resume, gated against the batch
+    answer: phase 1 streams HALF the spike corpus through
+    stream_detect_to_parquet (file source -> detect -> parquet sink,
+    availableNow); phase 2 adds the remaining tiles and re-runs with the
+    SAME checkpoint — Spark's file-source log must skip the committed
+    files, so the sink holds every detection EXACTLY once (a re-processed
+    phase-1 file would double its tiles' rows and break n_trees; a
+    non-resumed run would miss phase-2 rows). The oracle re-derives the
+    full spike set per tile (see _north_star_stats for the closed form)."""
+    import os
+    import tempfile
+
+    from lidartree_spark.streaming.ops import (
+        stream_detect_to_parquet,
+        stream_tiles,
+    )
+    base = tempfile.mkdtemp(prefix="lidartree_sdr_")
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    ckpt = os.path.join(base, "ckpt")
+    tiles = _spike_tiles(spark)
+    tiles.where("image_id < 't0002'").write.mode("append").parquet(src)
+    stream_detect_to_parquet(stream_tiles(spark, src), sink, ckpt)
+    tiles.where("image_id >= 't0002'").write.mode("append").parquet(src)
+    stream_detect_to_parquet(stream_tiles(spark, src), sink, ckpt)
+    det = spark.read.parquet(sink)
+    return det.groupBy("image_id").agg(
+        F.count("*").cast("long").alias("n_trees"),
+        F.round(F.sum("h"), 6).alias("sum_h"),
+        F.round(F.sum("v"), 6).alias("sum_v"),
+        F.round(F.min("dom_radius"), 6).alias("dom_min"))
+
+
+_STREAM_DETECT_DUCK = """
+WITH sp AS (
+  SELECT printf('t%04d_%04d', R // 2, C // 2) AS image_id,
+         CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) AS h
+  FROM UNNEST(generate_series(0, 7)) rr(R),
+       UNNEST(generate_series(0, 7)) cc2(C)
+)
+SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_trees,
+       ROUND(SUM(h), 6) AS sum_h,
+       ROUND(SUM(h * 0.25), 6) AS sum_v,
+       CAST(6.0 AS DOUBLE) AS dom_min
+FROM sp GROUP BY image_id
+"""
+
 _DIALECT["streaming_windowed_events"] = (_streaming_windowed,
                                          _STREAM_WINDOWED_DUCK)
 _DIALECT["streaming_running_totals"] = (_streaming_totals,
                                         _STREAM_TOTALS_DUCK)
+_DIALECT["streaming_detect_resume"] = (_streaming_detect_resume,
+                                       _STREAM_DETECT_DUCK)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
