@@ -106,3 +106,18 @@ def test_salted_join_exact_and_spreads_key(spark):
         sorted(map(tuple, agg.collect()))
     plan = _plan(salted)
     assert "_salt" in plan and "ShuffledHashJoin" in plan
+
+
+def test_ngram_jaccard_shingle_join_is_salted(spark):
+    """The verdict's hot-shingle skew hardening: the ngram_jaccard
+    registry query must shuffle its shingle self-join on the salted
+    composite key (a stop-phrase shingle spreads over 8 reducers), while
+    its DuckDB oracle remains the plain join — result parity is the
+    driver gate's job; here we pin the plan shape."""
+    from lidartree_spark.queries import queries
+    df = queries()["ngram_jaccard"](spark, SF)
+    plan = _plan(df)
+    salted_exchanges = [l for l in plan.splitlines()
+                        if "hashpartitioning" in l and "_salt" in l]
+    assert len(salted_exchanges) >= 2  # both sides of the shingle join
+    assert "ShuffledHashJoin" in plan
