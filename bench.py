@@ -48,12 +48,15 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 GRID = int(os.environ.get("SPARK_GRAFT_BENCH_GRID", "48"))
 # scaling-pair grid: LARGE on purpose. Efficiency N->4N under a fixed
 # per-run overhead F and scalable work W is (F+W)/(4F+W), so the gate
-# (>=0.8) needs F <= W/11; measured F on this box is ~0.6-1.3 s (AQE
-# replan + shuffle latency + final collect), so W must be >= ~15 s on the
-# 1-core leg. 64x64 = 4096 tiles gives W ~ 40 s: overhead is then <4% of
-# the leg and the measured number reflects the engine, not Spark's fixed
-# stage latency.
-SCALING_GRID = int(os.environ.get("SPARK_GRAFT_SCALING_GRID", "64"))
+# (>=0.8) needs F <= W/11. Round-3 decomposition (two corpus sizes per
+# leg): F is ~3.4 s on the 1-core leg (per-task scheduling + AQE replan +
+# collect, partly serialized) and the scalable work itself parallelizes
+# 3.5x on 4 cores (a HOST ceiling — 4 concurrent python workers share
+# memory bandwidth/SMT on this VM; the raw multiprocessing control in
+# BENCH/BASELINE.md shows the same ceiling without Spark). 96x96 = 9216
+# tiles puts F under 6% of the 1-core leg, which is most of the headroom
+# the W->inf asymptote (~0.88 on this hardware) allows.
+SCALING_GRID = int(os.environ.get("SPARK_GRAFT_SCALING_GRID", "96"))
 
 _SETUP = r"""
 import sys
@@ -241,7 +244,7 @@ def main() -> None:
             if name in ("tree_detect_tiles", "tree_match_greedy",
                         "tiles_decode_invariants", "tree_detect_halo",
                         "gap_detection", "coregistration",
-                        "multimodal_image_features", "checkpointed_detect",
+                        "checkpointed_detect",
                         "points_to_tiles_detect", "clouds_tree_metrics",
                         "edge_detection_stats", "raster_chull_mask"):
                 continue  # tile-pipeline ops, covered by the headline number

@@ -91,8 +91,6 @@ def with_halo(tiles: DataFrame, halo_px: int = 16) -> DataFrame:
         s = rows["self"]
         core = decode_tile(s.bytes, "raw_f32", s.w, s.h)
         h, w = core.shape
-        # start from edge replication (reference padding), overwrite with
-        # real neighbor data where present
         out = np.pad(core, p, mode="edge")
         placing = {
             "n": (slice(0, p), slice(p, p + w)),
@@ -109,6 +107,22 @@ def with_halo(tiles: DataFrame, halo_px: int = 16) -> DataFrame:
                 continue
             sub = decode_tile(rec.bytes, "raw_f32", rec.w, rec.h)
             out[placing[part]] = sub
+        # Corpus-edge fill must equal MOSAIC edge replication, not per-tile
+        # replication: on a rectangular corpus the real blocks form a
+        # rectangle, and every missing cell is its 2D clamp into that
+        # rectangle. The per-tile np.pad above gets corners wrong when a
+        # straight neighbor exists but the diagonal does not (e.g. a tile
+        # on the corpus's north edge with a real east neighbor: the NE
+        # block must replicate the EAST strip's top row — the mosaic's
+        # row 0 — not this tile's own corner pixel). Caught by the
+        # gap_merge_mosaic oracle gate (1-px label drift at the corner).
+        r0 = 0 if "n" in rows else p
+        r1 = p + h + (p if "s" in rows else 0)
+        c0 = 0 if "w" in rows else p
+        c1 = p + w + (p if "e" in rows else 0)
+        idx_r = np.clip(np.arange(h + 2 * p), r0, r1 - 1)
+        idx_c = np.clip(np.arange(w + 2 * p), c0, c1 - 1)
+        out = out[np.ix_(idx_r, idx_c)]
         return pd.DataFrame([{
             "image_id": key[0],
             "bytes": encode_tile(out.astype(np.float32), "raw_f32"),
