@@ -403,19 +403,23 @@ FROM documents
 # row.
 #
 # Spark computes the polynomial by Horner's rule in a SINGLE per-row
-# `aggregate(sequence(...))` higher-order expression — one JVM-side pass,
-# zero row inflation (the previous plan exploded one row PER CHARACTER,
+# `aggregate(split(text, ''))` higher-order expression — one JVM-side
+# pass, zero row inflation (the r2 plan exploded one row PER CHARACTER,
 # multiplying scan-stage rows ~10^3x at corpus scale, then joined a powers
-# table). Horner: acc = (acc*B + a_i) mod M left-to-right gives a_i *
-# B^(n-i) exactly; every step stays < M*B + 127 ~ 2.8e11 << 2^63. DuckDB
-# re-derives the SAME value by the structurally different powers-table
-# route (recursive CTE + per-character join), so the modular arithmetic is
-# cross-checked between two independent formulations.
+# table). The char source is split('') rather than substr(text, i, 1):
+# per-index substr re-walks the string from the start (UTF8 offsets), an
+# O(len^2)-per-doc hot path measured 4x slower; split materializes the
+# chars once. Empty docs agree: split('','') = [''] and ascii('') = 0, so
+# Horner yields 0 exactly like the empty sequence. Horner: acc = (acc*B +
+# a_i) mod M left-to-right gives a_i * B^(n-i) exactly; every step stays
+# < M*B + 127 ~ 2.8e11 << 2^63. DuckDB re-derives the SAME value by the
+# structurally different powers-table route (recursive CTE +
+# per-character join), so the modular arithmetic is cross-checked between
+# two independent formulations.
 _RABIN_SPARK = """
 SELECT doc_id,
-       aggregate(sequence(1, LENGTH(text)), CAST(0 AS BIGINT),
-                 (acc, i) -> (acc * 131 + ascii(substr(text, i, 1)))
-                             % 2147483647) AS fp,
+       aggregate(split(text, ''), CAST(0 AS BIGINT),
+                 (acc, c) -> (acc * 131 + ascii(c)) % 2147483647) AS fp,
        md5(array_join(array_sort(array_distinct(split(text, ' '))), '|'))
            AS bag_fp
 FROM documents
@@ -1918,6 +1922,163 @@ HAVING COUNT(*) >= 5
 """
 
 
+def _crowns_spike_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """detect_trees(crown=True) — the full detection chain PLUS the
+    marching-squares crown tracer — on the spike corpus, where every crown
+    is the planted spike's single pixel and its verbatim WKT string is a
+    closed-form %.2f-formatted 5-vertex square (top-left, clockwise, ring
+    closed). Pins the crown=True codepath end-to-end; the multi-pixel
+    tracer geometry is pinned by the in-budget crown_wkt_rects gate."""
+    from lidartree_spark.operators.detection import detect_trees
+    det = detect_trees(_spike_tiles(spark), crown=True)
+    return det.select("image_id", "x", "y", "h", "crown")
+
+
+_CROWNS_SPIKE_DUCK = """
+WITH sp AS (
+  SELECT printf('t%04d_%04d', R // 2, C // 2) AS image_id,
+         CAST(32 * (C // 2) + 4 + 16 * (C % 2) AS DOUBLE) AS xl,
+         CAST(32 * (R // 2) + 28 - 16 * (R % 2) AS DOUBLE) AS yt,
+         CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) AS h
+  FROM UNNEST(generate_series(0, 7)) rr(R),
+       UNNEST(generate_series(0, 7)) cc2(C)
+)
+SELECT image_id, xl + 0.25 AS x, yt - 0.25 AS y, h,
+       printf('POLYGON ((%.2f %.2f, %.2f %.2f, %.2f %.2f, %.2f %.2f, '
+              || '%.2f %.2f))',
+              xl, yt, xl + 0.5, yt, xl + 0.5, yt - 0.5, xl, yt - 0.5,
+              xl, yt) AS crown
+FROM sp
+"""
+
+
+def _coreg_e2e_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE coregistration operator (operators/coreg.coregister:
+    cogroup tiles x inventory -> rasterize virtual CHM by max-per-cell ->
+    rasters_moving_cor over the disk of translations -> raster_local_max
+    statistics) on analytic integer tiles + cell-center trees, vs a fully
+    relational oracle: the virtual CHM is a CASE expression, every shifted
+    correlation is the Pearson identity over an overlap equi-join (the
+    coreg_surface construction), the dominance-filtered maxima are 7x7
+    window maxima (dm=2.0 at step 0.5 keeps exactly the radius-3
+    survivors), and medians/quantiles re-derive per raster_local_max.
+    Composes the two kernel gates into the operator's end-to-end row."""
+    import pandas as pd
+
+    from lidartree_spark.operators.coreg import coregister
+
+    def gen(batches):
+        import numpy as np
+        from lidartree_spark.codecs import encode_tile
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                t = int(t)
+                ii, jj = np.meshgrid(np.arange(40), np.arange(40),
+                                     indexing="ij")
+                z = ((ii * 31 + jj * 17 + t * 13) % 23).astype(np.float32)
+                out.append({"image_id": f"t0000_{t:04d}",
+                            "bytes": encode_tile(z, "raw_f32"),
+                            "w": 40, "h": 40, "fmt": "raw_f32"})
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h",
+                                             "fmt"])
+
+    tiles = spark.range(4).repartition(4).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string")
+    # one tree at the center of every (i%5==2, j%5==3) cell; rasterizing
+    # floor((x-x0)/res) must land back on (i, j) exactly
+    trees = spark.range(4 * 40 * 40).selectExpr(
+        "CAST(id DIV 1600 AS INT) AS t",
+        "CAST((id % 1600) DIV 40 AS INT) AS i",
+        "CAST(id % 40 AS INT) AS j",
+    ).where("i % 5 = 2 AND j % 5 = 3").selectExpr(
+        "printf('t0000_%04d', t) AS image_id",
+        "CAST(t * 20.0 + (j + 0.5) * 0.5 AS DOUBLE) AS x",
+        "CAST(20.0 - (i + 0.5) * 0.5 AS DOUBLE) AS y",
+        "CAST(1 + (i * 7 + j * 11 + t) % 13 AS DOUBLE) AS h",
+    )
+    out = coregister(tiles, trees, buffer=4.0, step=0.5, dm=2.0, res=0.5)
+    return out.select(
+        "image_id", F.round("max1", 6).alias("max1"), "dx1", "dy1", "dx2",
+        "dy2", F.round("ratiomax1max2", 6).alias("ratiomax1max2"),
+        F.round("rmedloc1", 6).alias("rmedloc1"),
+        F.round("rmedloc2", 6).alias("rmedloc2"),
+        F.round("rquanta", 6).alias("rquanta"),
+        F.round("rquantb", 6).alias("rquantb"))
+
+
+_COREG_E2E_DUCK = """
+WITH tiles AS (SELECT t FROM UNNEST(generate_series(0, 3)) tt(t)),
+cells AS (SELECT i, j FROM UNNEST(generate_series(0, 39)) ii(i),
+                            UNNEST(generate_series(0, 39)) jj(j)),
+big AS (SELECT t, i, j, CAST((i*31 + j*17 + t*13) % 23 AS DOUBLE) AS z
+        FROM tiles, cells),
+sm0 AS (SELECT t, i, j,
+               CASE WHEN i % 5 = 2 AND j % 5 = 3
+                    THEN CAST(1 + (i*7 + j*11 + t) % 13 AS DOUBLE)
+                    ELSE 0.0 END AS z
+        FROM tiles, cells),
+st AS (SELECT t, AVG(z) AS mu, STDDEV_SAMP(z) AS sd FROM sm0 GROUP BY t),
+sm AS (SELECT s.t, s.i, s.j, (s.z - st.mu) / st.sd AS sv
+       FROM sm0 s JOIN st ON st.t = s.t),
+sh AS (SELECT dx, dy FROM UNNEST(generate_series(-8, 8)) xx(dx),
+                          UNNEST(generate_series(-8, 8)) yy(dy)
+       WHERE dx*dx + dy*dy <= 64),
+surf AS (
+  SELECT s.t, sh.dx, sh.dy,
+         (AVG(b.z * s.sv) - AVG(b.z) * AVG(s.sv)) / STDDEV_SAMP(b.z) AS c
+  FROM sh
+  CROSS JOIN sm s
+  JOIN big b ON b.t = s.t AND b.i = s.i - sh.dy AND b.j = s.j + sh.dx
+  GROUP BY s.t, sh.dx, sh.dy
+),
+loc AS (
+  SELECT a.t, a.dx, a.dy, a.c
+  FROM surf a JOIN surf n ON n.t = a.t
+        AND n.dx BETWEEN a.dx - 3 AND a.dx + 3
+        AND n.dy BETWEEN a.dy - 3 AND a.dy + 3
+  GROUP BY a.t, a.dx, a.dy, a.c
+  HAVING a.c >= MAX(n.c)
+),
+top2 AS (
+  SELECT t, dx, dy, c,
+         ROW_NUMBER() OVER (PARTITION BY t
+                            ORDER BY c DESC, dy DESC, dx) AS rk
+  FROM loc
+),
+m1 AS (SELECT t, dx AS x1, dy AS y1, c AS max1 FROM top2 WHERE rk = 1),
+m2 AS (SELECT t, dx AS x2, dy AS y2, c AS max2 FROM top2 WHERE rk = 2),
+medl1 AS (
+  SELECT s.t, MEDIAN(s.c) AS v
+  FROM surf s JOIN m1 ON m1.t = s.t
+  WHERE ABS(s.dx - m1.x1) * 0.5 <= 1.25 AND ABS(s.dy - m1.y1) * 0.5 <= 1.25
+  GROUP BY s.t
+),
+medl2 AS (
+  SELECT s.t, MEDIAN(s.c) AS v
+  FROM surf s JOIN m1 ON m1.t = s.t
+  WHERE ABS(s.dx - m1.x1) * 0.5 <= 2.25 AND ABS(s.dy - m1.y1) * 0.5 <= 2.25
+  GROUP BY s.t
+),
+q AS (SELECT t, quantile_cont(c, 0.75) AS qa, quantile_cont(c, 0.5) AS qb
+      FROM surf GROUP BY t)
+SELECT printf('t0000_%04d', m1.t) AS image_id,
+       ROUND(m1.max1, 6) AS max1,
+       CAST(m1.x1 * 0.5 AS DOUBLE) AS dx1, CAST(m1.y1 * 0.5 AS DOUBLE) AS dy1,
+       CAST(m2.x2 * 0.5 AS DOUBLE) AS dx2, CAST(m2.y2 * 0.5 AS DOUBLE) AS dy2,
+       ROUND(m1.max1 / m2.max2, 6) AS ratiomax1max2,
+       ROUND(m1.max1 / medl1.v, 6) AS rmedloc1,
+       ROUND(m1.max1 / medl2.v, 6) AS rmedloc2,
+       ROUND(m1.max1 / q.qa, 6) AS rquanta,
+       ROUND(m1.max1 / q.qb, 6) AS rquantb
+FROM m1
+JOIN m2 ON m2.t = m1.t
+JOIN medl1 ON medl1.t = m1.t
+JOIN medl2 ON medl2.t = m1.t
+JOIN q ON q.t = m1.t
+"""
+
+
 # Oracle-backed gates OUTSIDE the driver's 50-row correctness budget.
 # CORRECTNESS_r01/r02 show the driver's harness records at most 50 rows
 # (r02 = exactly the first 50 oracle_sql() entries; the 51st-53rd were
@@ -1951,6 +2112,8 @@ _EXTENDED = {
     # budget was already allocated to composite gates
     "raster_local_max": (_raster_local_max_gate, _RASTER_LOCAL_MAX_DUCK),
     "gap_merge_mosaic": (_gap_global_gate, _GAP_GLOBAL_DUCK),
+    "crowns_spike": (_crowns_spike_gate, _CROWNS_SPIKE_DUCK),
+    "coregistration_stats": (_coreg_e2e_gate, _COREG_E2E_DUCK),
 }
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
