@@ -2079,6 +2079,254 @@ JOIN q ON q.t = m1.t
 """
 
 
+def _points_lifecycle_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE points branch of tree_detection
+    (tree_detection.R:173-206): ground points -> TIN DTM (points2DTM,
+    common.R:105-123), ground+canopy -> max-in-cell DSM (points2DSM,
+    common.R:53-70), CHM = normalize_height (DSM - DTM, clamp >= 0), then
+    detection — with a FULL closed-form oracle.
+
+    Construction: one ground point at EVERY cell center of a 2x2-tile
+    (128x128 cell) domain with z = plane(x, y) = 100 + 0.05x + 0.03y, plus
+    16 canopy points at the spike-corpus cell positions with z = plane + H
+    (H integer 10..25). TIN interpolation AT a data point is exact
+    (cell centers are triangulation vertices, points2dtm_tin_plane pins
+    this), so CHM == H at spike cells and ~f32-epsilon elsewhere; the
+    spike analysis of _north_star_stats then gives the detection rows in
+    closed form (h rounds to H at 3 decimals — f32 subtraction noise at
+    |plane| ~ 130 is ~1e-5)."""
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.operators.rasterize import (
+        normalize_tiles,
+        points_to_dtm_tiles,
+        points_to_tiles,
+    )
+    ground = spark.range(128 * 128).selectExpr(
+        "CAST(id % 128 AS INT) AS cx", "CAST(id DIV 128 AS INT) AS cy",
+    ).selectExpr(
+        "(cx + 0.5) * 0.5 AS x", "(cy + 0.5) * 0.5 AS y",
+        "100.0 + 0.05 * ((cx + 0.5) * 0.5) "
+        "+ 0.03 * ((cy + 0.5) * 0.5) AS z")
+    canopy = spark.range(16).selectExpr(
+        "CAST(id DIV 4 AS INT) AS R", "CAST(id % 4 AS INT) AS C",
+    ).selectExpr(
+        "CAST(64 * (C DIV 2) + 8 + 32 * (C % 2) AS INT) AS cx",
+        "CAST(64 * (R DIV 2) + 55 - 32 * (R % 2) AS INT) AS cy",
+        "CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) AS hh",
+    ).selectExpr(
+        "(cx + 0.5) * 0.5 AS x", "(cy + 0.5) * 0.5 AS y",
+        "100.0 + 0.05 * ((cx + 0.5) * 0.5) "
+        "+ 0.03 * ((cy + 0.5) * 0.5) + hh AS z")
+    dtm = points_to_dtm_tiles(ground, halo_m=8.0)
+    dsm = points_to_tiles(ground.unionByName(canopy))
+    det = detect_trees(normalize_tiles(dsm, dtm))
+    return det.select(
+        "image_id", "x", "y", F.round("h", 3).alias("h"), "dom_radius",
+        F.round("s", 6).alias("s"), F.round("v", 3).alias("v"))
+
+
+_POINTS_LIFECYCLE_DUCK = """
+WITH sp AS (
+  SELECT printf('t%04d_%04d', R // 2, C // 2) AS image_id,
+         CAST(32 * (C // 2) + 4.25 + 16 * (C % 2) AS DOUBLE) AS x,
+         CAST(32 * (R // 2) + 27.75 - 16 * (R % 2) AS DOUBLE) AS y,
+         CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) AS h
+  FROM UNNEST(generate_series(0, 3)) rr(R),
+       UNNEST(generate_series(0, 3)) cc2(C)
+)
+SELECT image_id, x, y, h, CAST(6.0 AS DOUBLE) AS dom_radius,
+       CAST(0.25 AS DOUBLE) AS s, CAST(h * 0.25 AS DOUBLE) AS v
+FROM sp
+"""
+
+
+def _ckpt_resume_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-resume EXACTLY-ONCE gate (north rule: 'a killed run
+    restarts from the last committed snapshot without recomputing
+    completed tiles'): the spike-corpus detection pipeline runs through
+    plans/checkpoint.Pipeline TWICE against the same workdir. The second
+    run must SKIP both committed stages (fingerprint match) — the run
+    statuses are emitted as columns, so a recompute (or a stale/partial
+    snapshot) fails the oracle; the data columns pin that the resumed
+    snapshot holds every spike detection exactly once."""
+    import tempfile
+
+    from lidartree_spark.plans.checkpoint import Pipeline, Stage
+
+    def s_tiles(s):
+        return _spike_tiles(s)
+
+    def s_detect(s, tiles):
+        from lidartree_spark.operators.detection import detect_trees
+        return detect_trees(tiles)
+
+    stages = [Stage("tiles", s_tiles),
+              Stage("detect", s_detect, inputs=["tiles"])]
+    base = tempfile.mkdtemp(prefix="lidartree_ckptr_")
+    st1 = Pipeline(spark, base).run(stages)
+    st2 = Pipeline(spark, base).run(stages)
+    det = Pipeline(spark, base).read_output("detect")
+    return det.select(
+        "image_id", "x", "y", "h", "dom_radius", "s", "v",
+        F.lit(st1["detect"]).alias("run1_detect"),
+        F.lit(st2["tiles"]).alias("run2_tiles"),
+        F.lit(st2["detect"]).alias("run2_detect"))
+
+
+_CKPT_RESUME_DUCK = """
+WITH sp AS (
+  SELECT printf('t%04d_%04d', R // 2, C // 2) AS image_id,
+         CAST(32 * (C // 2) + 4.25 + 16 * (C % 2) AS DOUBLE) AS x,
+         CAST(32 * (R // 2) + 27.75 - 16 * (R % 2) AS DOUBLE) AS y,
+         CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) AS h
+  FROM UNNEST(generate_series(0, 7)) rr(R),
+       UNNEST(generate_series(0, 7)) cc2(C)
+)
+SELECT image_id, x, y, h, CAST(6.0 AS DOUBLE) AS dom_radius,
+       CAST(0.25 AS DOUBLE) AS s, CAST(h * 0.25 AS DOUBLE) AS v,
+       'computed' AS run1_detect,
+       'skipped' AS run2_tiles, 'skipped' AS run2_detect
+FROM sp
+"""
+
+
+def _halo_dominance_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Halo exchange gate where the halo CHANGES THE ANSWER (the lidR
+    buffer >= 10 m rationale, tree_detection.R:114-115): four cross-border
+    spike pairs — a tall spike 2 cells from a short (5.5 m) one in the
+    NEIGHBORING tile — plus four isolated spikes. With the halo, Gaussian
+    smoothing (dem_filtering) sees the tall spike across the border, the
+    between-pixel [~0.25*(5.5+h_tall)] exceeds the short's own smoothed
+    center [~0.44*5.5], so the short is not even a radius-1 local maximum
+    and is never detected; seg_adjust then trims the short's pixel from
+    the tall's segment (5.5 < 0.3*h_tall). WITHOUT the halo each tile
+    would see the short as an isolated 5.5 m tree (h >= hmin) and emit a
+    ninth row — so this oracle only matches if border strips really
+    shipped. All survivors are closed-form (isolated-spike analysis of
+    _north_star_stats)."""
+    import pandas as pd
+
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.operators.halo import with_halo
+
+    def gen(batches):
+        import numpy as np
+        from lidartree_spark.codecs import encode_tile
+        for pdf in batches:
+            out = []
+            for t in pdf["id"]:
+                r, c = int(t) // 2, int(t) % 2
+                z = np.zeros((64, 64), np.float32)
+                for cx, cy, h in _HALO_SPIKES:
+                    if cx // 64 == c and cy // 64 == r:
+                        z[63 - (cy % 64), cx % 64] = h
+                tid = f"t{r:04d}_{c:04d}"
+                out.append({"image_id": tid,
+                            "bytes": encode_tile(z, "raw_f32"),
+                            "w": 64, "h": 64, "fmt": "raw_f32"})
+            yield pd.DataFrame(out, columns=["image_id", "bytes", "w", "h",
+                                             "fmt"])
+
+    tiles = spark.range(4).repartition(4).mapInPandas(
+        gen, schema="image_id string, bytes binary, w int, h int, fmt string")
+    det = detect_trees(with_halo(tiles, 16))
+    return det.select("image_id", "x", "y", "h", "dom_radius", "s", "v")
+
+
+# (global cx, global cy, height) on the 128x128-cell 2x2-tile domain:
+# 4 isolated spikes (one per tile) + 4 dominance pairs straddling tile
+# borders (tall 20..23 m in one tile, short 5.5 m two cells away in the
+# neighbor). Every non-pair separation is >= 20 cells (Chebyshev), beyond
+# the 11-cell max dominance radius.
+_HALO_SPIKES = (
+    [(64 * c + 8, 64 * r + 40, float(10 + (r * 7 + c * 11) % 16))
+     for r in (0, 1) for c in (0, 1)]
+    + [(62, 64 * r + 20, float(20 + r)) for r in (0, 1)]      # tall, tile c=0
+    + [(64, 64 * r + 20, 5.5) for r in (0, 1)]                # short, c=1
+    + [(64 * c + 20, 62, float(22 + c)) for c in (0, 1)]      # tall, tile r=0
+    + [(64 * c + 20, 64, 5.5) for c in (0, 1)]                # short, r=1
+)
+
+_HALO_DOMINANCE_DUCK = """
+WITH iso AS (
+  SELECT printf('t%04d_%04d', r, c) AS image_id,
+         CAST(64 * c + 8.5 AS DOUBLE) * 0.5 AS x,
+         CAST(64 * r + 40.5 AS DOUBLE) * 0.5 AS y,
+         CAST(10 + (r * 7 + c * 11) % 16 AS DOUBLE) AS h
+  FROM UNNEST(generate_series(0, 1)) rr(r),
+       UNNEST(generate_series(0, 1)) cc2(c)
+), tall AS (
+  SELECT printf('t%04d_0000', r) AS image_id,
+         CAST(62.5 * 0.5 AS DOUBLE) AS x,
+         CAST(64 * r + 20.5 AS DOUBLE) * 0.5 AS y,
+         CAST(20 + r AS DOUBLE) AS h
+  FROM UNNEST(generate_series(0, 1)) rr(r)
+  UNION ALL
+  SELECT printf('t0000_%04d', c),
+         CAST(64 * c + 20.5 AS DOUBLE) * 0.5,
+         CAST(62.5 * 0.5 AS DOUBLE),
+         CAST(22 + c AS DOUBLE)
+  FROM UNNEST(generate_series(0, 1)) cc2(c)
+)
+SELECT image_id, x, y, h, CAST(6.0 AS DOUBLE) AS dom_radius,
+       CAST(0.25 AS DOUBLE) AS s, CAST(h * 0.25 AS DOUBLE) AS v
+FROM (SELECT * FROM iso UNION ALL SELECT * FROM tall)
+"""
+
+
+def _tree_metrics_spike_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clouds_tree_metrics (metrics.R:397-457) END TO END on the spike
+    corpus: detection + std_tree_metrics per tile, where each tile's four
+    apex heights are the closed-form integers 10 + (R*7 + C*11) % 16 —
+    so the oracle re-derives mean/sd/sort-rank-Gini/height-class
+    densities/crown means from first principles (per-tile heights are
+    distinct, and the Gini sum formula is tie-invariant anyway). Area =
+    the 32 m tile footprint = 0.1024 ha (rasterize.py:242-244)."""
+    from lidartree_spark.operators.rasterize import clouds_tree_metrics_df
+    m = clouds_tree_metrics_df(_spike_tiles(spark))
+    return m.select(
+        "image_id",
+        *[F.round(c, 6).alias(c) for c in
+          ("tree_meanh", "tree_sdh", "tree_ginih", "tree_density",
+           "treeinf10_density", "treesup10_density", "treesup20_density",
+           "treesup30_density", "tree_meancrownsurface",
+           "tree_meancrownvolume", "treecanopy_meanh")])
+
+
+_TREE_METRICS_SPIKE_DUCK = """
+WITH sp AS (
+  SELECT printf('t%04d_%04d', R // 2, C // 2) AS image_id,
+         CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) AS h
+  FROM UNNEST(generate_series(0, 7)) rr(R),
+       UNNEST(generate_series(0, 7)) cc2(C)
+), ranked AS (
+  SELECT image_id, h,
+         ROW_NUMBER() OVER (PARTITION BY image_id ORDER BY h) AS i,
+         COUNT(*) OVER (PARTITION BY image_id) AS n
+  FROM sp
+)
+SELECT image_id,
+       ROUND(AVG(h), 6) AS tree_meanh,
+       ROUND(STDDEV_SAMP(h), 6) AS tree_sdh,
+       ROUND(SUM((2.0 * i - n - 1) * h) / (MAX(n) * SUM(h)), 6)
+           AS tree_ginih,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / 0.1024, 6) AS tree_density,
+       ROUND(CAST(SUM(CASE WHEN h <= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / 0.1024, 6) AS treeinf10_density,
+       ROUND(CAST(SUM(CASE WHEN h > 10 THEN 1 ELSE 0 END) AS DOUBLE)
+             / 0.1024, 6) AS treesup10_density,
+       ROUND(CAST(SUM(CASE WHEN h > 20 THEN 1 ELSE 0 END) AS DOUBLE)
+             / 0.1024, 6) AS treesup20_density,
+       ROUND(CAST(SUM(CASE WHEN h > 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / 0.1024, 6) AS treesup30_density,
+       CAST(0.25 AS DOUBLE) AS tree_meancrownsurface,
+       ROUND(AVG(h) * 0.25, 6) AS tree_meancrownvolume,
+       ROUND(SUM(h * 0.25) / SUM(0.25), 6) AS treecanopy_meanh
+FROM ranked
+GROUP BY image_id
+"""
+
+
 # Oracle-backed gates OUTSIDE the driver's 50-row correctness budget.
 # CORRECTNESS_r01/r02 show the driver's harness records at most 50 rows
 # (r02 = exactly the first 50 oracle_sql() entries; the 51st-53rd were
@@ -2114,6 +2362,12 @@ _EXTENDED = {
     "gap_merge_mosaic": (_gap_global_gate, _GAP_GLOBAL_DUCK),
     "crowns_spike": (_crowns_spike_gate, _CROWNS_SPIKE_DUCK),
     "coregistration_stats": (_coreg_e2e_gate, _COREG_E2E_DUCK),
+    "points_lifecycle_stats": (_points_lifecycle_gate,
+                               _POINTS_LIFECYCLE_DUCK),
+    "checkpoint_resume_stats": (_ckpt_resume_gate, _CKPT_RESUME_DUCK),
+    "halo_dominance_stats": (_halo_dominance_gate, _HALO_DOMINANCE_DUCK),
+    "tree_metrics_spike": (_tree_metrics_spike_gate,
+                           _TREE_METRICS_SPIKE_DUCK),
 }
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
