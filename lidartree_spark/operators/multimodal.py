@@ -10,11 +10,12 @@ signatures) is real and tested. Format decoders:
 - fmt == "wav"     -> REAL RIFF/WAVE PCM16 parsing (decode_wav_pcm16 below)
 - fmt == "avi"     -> REAL RIFF/AVI Motion-JPEG (lidartree_spark.avi; each
   frame is a baseline JPEG)
-- fmt == "mp4"     -> REAL ISO-BMFF / MP4 Motion-JPEG (lidartree_spark.mp4:
-  full box tree + stsd/stts/stsc/stsz/stco sample table; each sample is a
-  baseline JPEG — the QuickTime/MP4 'jpeg' codec). An 'avc1' (H.264) track
-  raises NotImplementedError from the demuxer — the container parsing is
-  real for every codec, the entropy decode only for Motion-JPEG.
+- fmt == "mp4"     -> REAL ISO-BMFF / MP4 (lidartree_spark.mp4: full box
+  tree + stsd/stts/stsc/stsz/stco|co64 sample table). Two sample codecs
+  decode: 'jpeg' (Motion-JPEG) and 'avc1' H.264 restricted to the all-I_PCM
+  Baseline subset (lidartree_spark.h264 — real NAL/EBSP/Exp-Golomb/slice
+  syntax; entropy-coded CAVLC/CABAC macroblocks raise a specific
+  NotImplementedError).
 
 No stub decoders remain (STUB_FORMATS is empty); `FakeDecoder` survives
 only as the deterministic pixel/sample SOURCE for synthetic_media — i.e. a
@@ -212,8 +213,8 @@ def video_frame_sample(media: DataFrame, every: int = 4,
                     frames = (decode_avi_mjpeg(rec.bytes)
                               .astype(np.float32) / 255.0)
                 elif rec.fmt == "mp4":
-                    from lidartree_spark.mp4 import decode_mp4_mjpeg
-                    frames = (decode_mp4_mjpeg(rec.bytes)
+                    from lidartree_spark.mp4 import decode_mp4
+                    frames = (decode_mp4(rec.bytes)
                               .astype(np.float32) / 255.0)
                 else:
                     raise ValueError(f"unknown video fmt {rec.fmt!r}")
@@ -233,12 +234,12 @@ def video_frame_sample(media: DataFrame, every: int = 4,
 def synthetic_media(spark, n: int = 24) -> DataFrame:
     """Small deterministic media table exercising all three kinds. Images
     alternate REAL baseline JPEG and REAL PNG payloads; audio carries REAL
-    RIFF/WAVE PCM16 bytes; video alternates REAL RIFF/AVI and REAL
-    ISO-BMFF/MP4 Motion-JPEG containers."""
+    RIFF/WAVE PCM16 bytes; video rotates REAL RIFF/AVI Motion-JPEG,
+    ISO-BMFF/MP4 Motion-JPEG, and MP4 'avc1' H.264 I_PCM containers."""
     from lidartree_spark.avi import encode_avi_mjpeg
     from lidartree_spark.codecs import encode_png_gray16
     from lidartree_spark.jpeg import encode_jpeg_gray
-    from lidartree_spark.mp4 import encode_mp4_mjpeg
+    from lidartree_spark.mp4 import encode_mp4_h264, encode_mp4_mjpeg
     rows = []
     for i in range(n):
         kind = ("image", "audio", "video")[i % 3]
@@ -268,10 +269,15 @@ def synthetic_media(spark, n: int = 24) -> DataFrame:
         else:
             nf = 8 + (i % 5)
             frames = FakeDecoder.video(mid, 16, 12, nf)
-            enc, fmt = ((encode_avi_mjpeg, "avi") if (i // 3) % 2 == 0
-                        else (encode_mp4_mjpeg, "mp4"))
+            variant = (i // 3) % 3
+            if variant == 0:
+                blob, fmt = encode_avi_mjpeg(frames, quality=95), "avi"
+            elif variant == 1:
+                blob, fmt = encode_mp4_mjpeg(frames, quality=95), "mp4"
+            else:  # lossless-PCM H.264 track behind the same 'mp4' fmt tag
+                blob, fmt = encode_mp4_h264(frames), "mp4"
             rows.append({"media_id": mid, "kind": kind,
-                         "bytes": enc(frames, quality=95),
+                         "bytes": blob,
                          "fmt": fmt, "width": 16, "height": 12,
                          "channels": 1, "sample_rate": 0, "n_frames": nf})
     return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)

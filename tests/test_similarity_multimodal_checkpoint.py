@@ -181,10 +181,15 @@ def test_mp4_mjpeg_roundtrip_and_codec_guard():
     for k in range(5):
         assert psnr(u8[k], got[k].astype(np.float64)) >= 40.0
 
-    # rewrite the stsd sample-entry fourcc (tag + ver/flags + count + size)
+    # rewrite the stsd sample-entry fourcc (tag + ver/flags + count + size):
+    # hvc1 (HEVC) stays honestly unsupported; avc1 now has its own decoder
+    # (tests/test_h264.py) and instead fails on the missing avcC record.
     i = buf.index(b"stsd") + 4 + 4 + 4 + 4
+    hvc = buf[:i] + b"hvc1" + buf[i + 4:]
+    with pytest.raises(NotImplementedError, match="hvc1"):
+        decode_mp4_mjpeg(hvc)
     avc = buf[:i] + b"avc1" + buf[i + 4:]
-    with pytest.raises(NotImplementedError, match="avc1"):
+    with pytest.raises(ValueError, match="avcC"):
         decode_mp4_mjpeg(avc)
 
 
