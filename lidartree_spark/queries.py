@@ -2327,6 +2327,42 @@ GROUP BY image_id
 """
 
 
+def _catalog_roi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tree_detection_catalog END TO END on the spike corpus with a
+    diamond ROI (tree_detection.R:94-206: bbox tile pruning -> halo ->
+    detection with core-crop -> exact polygon clip). The diamond
+    POLYGON((48 18, 78 48, 48 78, 18 48)) prunes tile row/col 3 at the
+    bbox stage (real partition pruning, not a no-op ROI), and its exact
+    clip is the Manhattan predicate |x-48|+|y-48| <= 30, which DuckDB
+    re-derives directly. Spike coordinates are offset by .25/.75 from
+    integers while the radius is an integer, so no spike can land ON the
+    ring (sums are k, k.5 — never 30 exactly at distance 30): the
+    ray-cast boundary convention is immaterial and the oracle is
+    tie-free."""
+    from lidartree_spark.operators.detection import tree_detection_catalog
+    roi = "POLYGON ((48 18, 78 48, 48 78, 18 48, 48 18))"
+    det = tree_detection_catalog(_spike_tiles(spark), roi)
+    return det.select("image_id", "x", "y", F.round("h", 3).alias("h"),
+                      "dom_radius", F.round("s", 6).alias("s"),
+                      F.round("v", 3).alias("v"))
+
+
+_CATALOG_ROI_DUCK = """
+WITH sp AS (
+  SELECT printf('t%04d_%04d', R // 2, C // 2) AS image_id,
+         CAST(32 * (C // 2) + 4.25 + 16 * (C % 2) AS DOUBLE) AS x,
+         CAST(32 * (R // 2) + 27.75 - 16 * (R % 2) AS DOUBLE) AS y,
+         CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) AS h
+  FROM UNNEST(generate_series(0, 7)) rr(R),
+       UNNEST(generate_series(0, 7)) cc2(C)
+)
+SELECT image_id, x, y, h, CAST(6.0 AS DOUBLE) AS dom_radius,
+       CAST(0.25 AS DOUBLE) AS s, CAST(h * 0.25 AS DOUBLE) AS v
+FROM sp
+WHERE ABS(x - 48) + ABS(y - 48) <= 30
+"""
+
+
 # Oracle-backed gates OUTSIDE the driver's 50-row correctness budget.
 # CORRECTNESS_r01/r02 show the driver's harness records at most 50 rows
 # (r02 = exactly the first 50 oracle_sql() entries; the 51st-53rd were
@@ -2368,6 +2404,7 @@ _EXTENDED = {
     "halo_dominance_stats": (_halo_dominance_gate, _HALO_DOMINANCE_DUCK),
     "tree_metrics_spike": (_tree_metrics_spike_gate,
                            _TREE_METRICS_SPIKE_DUCK),
+    "catalog_roi_stats": (_catalog_roi_gate, _CATALOG_ROI_DUCK),
 }
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
