@@ -2327,6 +2327,63 @@ GROUP BY image_id
 """
 
 
+def _hilbert_index_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve cell index (the locality-preserving twin of the
+    Morton gate `cell_index`): encode event-derived points with the
+    rotate-reflect recurrence (operators/grid.with_hilbert — pure
+    Catalyst, one projection per level), roll up to the level-6 quadrant,
+    assert the contiguous-range invariant that makes Hilbert ranges
+    sargable file-pruning predicates. The DuckDB oracle re-derives every
+    code with the same recurrence unrolled as chained CTEs (independent
+    dialect: xor()/CASE vs Catalyst shiftright/when)."""
+    from lidartree_spark.operators.grid import (hilbert_parent,
+                                                hilbert_range, with_hilbert)
+
+    load_views(spark, sf_dir)
+    pts = spark.sql("""
+      SELECT CAST(event_id % 192 AS DOUBLE) * 0.5 - 20.0 AS x,
+             CAST(CAST(FLOOR(event_id / 192.0) AS BIGINT) % 128 AS DOUBLE)
+                 * 0.5 - 20.0 AS y
+      FROM events""")
+    enc = with_hilbert(pts, F.col("x"), F.col("y"), 0.5).select(
+        F.col("hcode").alias("code"))
+    agg = (enc.select("code",
+                      hilbert_parent(F.col("code"), 6).alias("cell"),
+                      hilbert_parent(F.col("code"), 3).alias("mid"))
+           .groupBy("cell")
+           .agg(F.count("*").cast("long").alias("n"),
+                F.min("code").alias("min_code"),
+                F.max("code").alias("max_code"),
+                F.countDistinct("mid").cast("long").alias("sub_cells")))
+    rng = hilbert_range(F.col("cell"), 6)
+    return agg.select(
+        "cell", "n", "min_code", "max_code", "sub_cells",
+        ((F.col("min_code") >= rng["lo"])
+         & (F.col("max_code") < rng["hi"])).alias("range_ok"))
+
+
+def _hilbert_duck() -> str:
+    from lidartree_spark.operators.grid import hilbert_duck_sql
+    return f"""
+WITH src AS (
+  SELECT CAST(event_id % 192 AS DOUBLE) * 0.5 - 20.0 AS x,
+         CAST(CAST(FLOOR(event_id / 192.0) AS BIGINT) % 128 AS DOUBLE)
+             * 0.5 - 20.0 AS y
+  FROM events
+),
+{hilbert_duck_sql("src", res=0.5)}
+SELECT hd >> 12 AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(hd) AS min_code,
+       MAX(hd) AS max_code,
+       CAST(COUNT(DISTINCT hd >> 6) AS BIGINT) AS sub_cells,
+       MIN(hd) >= ((hd >> 12) << 12)
+         AND MAX(hd) < (((hd >> 12) + 1) << 12) AS range_ok
+FROM l0
+GROUP BY 1
+"""
+
+
 def _catalog_roi_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tree_detection_catalog END TO END on the spike corpus with a
     diamond ROI (tree_detection.R:94-206: bbox tile pruning -> halo ->
@@ -2405,6 +2462,7 @@ _EXTENDED = {
     "tree_metrics_spike": (_tree_metrics_spike_gate,
                            _TREE_METRICS_SPIKE_DUCK),
     "catalog_roi_stats": (_catalog_roi_gate, _CATALOG_ROI_DUCK),
+    "hilbert_index": (_hilbert_index_gate, _hilbert_duck()),
 }
 
 def _ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
