@@ -2439,6 +2439,15 @@ WHERE ABS(x - 48) + ABS(y - 48) <= 30
 #   method='exact' half of the ann_lsh driver gate;
 # - species_dim_join: trivial broadcast dim lookup, plan-asserted in
 #   tests/test_plans.py.
+# Round 3 repacks the budget further (see "Round-3 driver-budget repack" at
+# the bottom of this module): same-family single-op gates are merged into
+# section-tagged UNION gates (scalar_map_ops, aba_model_scores,
+# raster_masks, cell_index_dual) and their constituents demoted HERE, while
+# the round-3 composite pins (catalog_roi_stats, checkpoint_resume_stats,
+# halo_dominance_stats, gap_merge_mosaic, raster_local_max,
+# coregistration_stats) and the new training_data_pipeline composite take
+# the freed slots. Every demoted gate remains in this dict, so the local
+# gate set still verifies each constituent individually.
 _EXTENDED = {
     "aba_quantiles": (_ABA_QUANTILES_SPARK, _ABA_QUANTILES_DUCK),
     "langid_heuristic": (_LANGID_SPARK, _LANGID_DUCK),
@@ -4244,6 +4253,273 @@ _DIALECT["streaming_running_totals"] = (_streaming_totals,
                                         _STREAM_TOTALS_DUCK)
 _DIALECT["streaming_detect_resume"] = (_streaming_detect_resume,
                                        _STREAM_DETECT_DUCK)
+
+
+# ===========================================================================
+# Round-3 driver-budget repack. The driver's correctness harness records at
+# most 50 oracle rows (see _EXTENDED's note), so every one of those rows
+# should pin as much of SURVEY.md §2 as possible. Three moves, applied at
+# the bottom of this module so every constituent stays defined and
+# individually verifiable above:
+#   1. MERGE same-family single-op gates into one section-tagged UNION gate
+#      (scalar_map_ops, aba_model_scores, raster_masks, cell_index_dual) —
+#      each merged row carries every value its constituents carried, under
+#      a documented generic schema.
+#   2. ADD training_data_pipeline: the LLM-corpus counterpart of
+#      north_star_stats — exact dedup -> MinHash-LSH near-dup clustering
+#      through the REAL distributed connected-components operator -> keep
+#      one canonical per cluster -> language/quality/token-count filters ->
+#      deterministic stratified sample, as ONE lineage-carrying plan,
+#      re-derived end to end by a recursive-CTE DuckDB oracle.
+#   3. PROMOTE the round-3 composite pins (catalog_roi_stats,
+#      checkpoint_resume_stats, halo_dominance_stats, gap_merge_mosaic,
+#      raster_local_max, coregistration_stats) from the local-only
+#      _EXTENDED set into the driver budget; the demoted constituents move
+#      to _EXTENDED where tools/check_oracle.py and the pytest gate still
+#      run them on every pass.
+
+# --- training_data_pipeline -----------------------------------------------
+# Stage 1 (exact dedup) is the exact_dedup gate's keep-side: one canonical
+# per md5 content hash. Shared dialect.
+_TD_EXACT = """
+  SELECT doc_id, text, lang, source FROM (
+    SELECT doc_id, text, lang, source,
+           MIN(doc_id) OVER (PARTITION BY md5(SUBSTR(text, 1, 80))) AS canon
+    FROM documents) dedup_keep
+  WHERE doc_id = canon
+"""
+
+# Thresholds chosen so every stage provably acts on the sf0.01 corpus
+# (500 docs): exact dedup removes 23, near-dup clustering removes 5 more
+# (five 2-clusters), lang_guess='en' (stop_ratio >= 2%) drops ~20%, the
+# BPE-token and token-length bounds trim both tails, the sampler keeps a
+# deterministic 20% per (lang, source) stratum.
+_TD_FILTER = ("lang_guess = 'en' AND n_bpe BETWEEN 25 AND 90 "
+              "AND mean_token_len <= 5.0")
+
+
+def _td_shingles(dialect: str) -> str:
+    """The minhash_lsh shingle fragment re-pointed at the exact-dedup
+    survivors (td_exact) instead of the raw capped table."""
+    src = _SHINGLES_SPARK if dialect == "spark" else _SHINGLES_DUCK
+    return src.replace("FROM documents WHERE doc_id < 200", "FROM td_exact")
+
+
+_TD_PIPELINE_DUCK = f"""
+WITH RECURSIVE td_exact AS ({_TD_EXACT}),
+mh AS ({_minhash_sql(_td_shingles("duck"), "duck").replace("AS STRING",
+                                                           "AS VARCHAR")}),
+e AS (SELECT doc_a AS a, doc_b AS b FROM mh WHERE shared_bands >= 2),
+sym AS (SELECT a AS u, b AS v FROM e UNION SELECT b, a FROM e
+        UNION SELECT a, a FROM e UNION SELECT b, b FROM e),
+cc AS (
+  SELECT u, v FROM sym
+  UNION
+  SELECT c.u, s.v FROM cc c JOIN sym s ON s.u = c.v
+),
+lab AS (SELECT u AS doc_id, MIN(v) AS canonical FROM cc GROUP BY u),
+csizes AS (SELECT canonical, COUNT(*) AS csz FROM lab GROUP BY canonical),
+kept AS (
+  SELECT d.doc_id, d.text, d.lang, d.source,
+         CAST(COALESCE(s.csz, 1) AS BIGINT) AS cluster_size
+  FROM td_exact d
+  LEFT JOIN lab l ON l.doc_id = d.doc_id
+  LEFT JOIN csizes s ON s.canonical = l.canonical
+  WHERE l.doc_id IS NULL OR l.doc_id = l.canonical
+),
+scored AS (
+  SELECT doc_id, lang, source, cluster_size,
+         CAST(len(regexp_extract_all(text,
+              ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS BIGINT) AS n_bpe,
+         ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+               / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 6)
+             AS mean_token_len,
+         CASE WHEN len(list_filter(string_split(text, ' '),
+               t -> t IN ('the','a','of','and','to','in','is','on','for',
+                          'with')))
+               * 50 >= len(string_split(text, ' ')) THEN 'en' ELSE 'other'
+             END AS lang_guess
+  FROM kept
+),
+ranked AS (
+  SELECT lang, source, doc_id, n_bpe, cluster_size,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY md5(doc_id || '')) AS rk,
+         COUNT(*) OVER (PARTITION BY lang, source) AS stratum_n
+  FROM scored WHERE {_TD_FILTER}
+)
+SELECT lang, source, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_bpe AS BIGINT) AS n_bpe, cluster_size,
+       CAST(rk AS BIGINT) AS rk, CAST(stratum_n AS BIGINT) AS stratum_n
+FROM ranked WHERE rk <= CEIL(0.2 * stratum_n)
+"""
+
+
+def _training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep over `documents`, every stage the REAL
+    operator: exact dedup (hash-window keep-one) -> MinHash-LSH candidate
+    pairs -> distributed connected components (operators/gaps, the same
+    pointer-jumping engine that merges cross-tile gaps) -> one canonical doc
+    per near-dup cluster -> language-ID + quality + BPE-token-count filters
+    (all JVM expressions) -> deterministic md5-ranked stratified sample.
+    One lineage-carrying plan, no collect between stages. The DuckDB oracle
+    (_TD_PIPELINE_DUCK) re-derives the whole chain with a recursive-CTE
+    transitive closure standing in for the distributed CC."""
+    from pyspark.sql import Window
+
+    from lidartree_spark.operators.gaps import connected_components
+
+    load_views(spark, sf_dir)
+    surv = spark.sql(f"SELECT * FROM ({_TD_EXACT}) s")
+    surv.createOrReplaceTempView("td_exact")
+    pairs = (spark.sql(_minhash_sql(_td_shingles("spark"), "spark"))
+             .where("shared_bands >= 2"))
+    # full-int64 zero-pad: lexicographic min-label == numeric min
+    edges = pairs.selectExpr("lpad(CAST(doc_a AS STRING), 19, '0') AS a",
+                             "lpad(CAST(doc_b AS STRING), 19, '0') AS b")
+    lab = connected_components(edges).selectExpr(
+        "CAST(node AS BIGINT) AS m_doc", "CAST(comp AS BIGINT) AS canonical")
+    sizes = lab.groupBy("canonical").agg(F.count("*").alias("csz"))
+    lab = lab.join(sizes, "canonical")
+    kept = (surv.join(lab, surv.doc_id == lab.m_doc, "left")
+            .where("m_doc IS NULL OR m_doc = canonical")
+            .selectExpr("doc_id", "text", "lang", "source",
+                        "CAST(COALESCE(csz, 1) AS BIGINT) AS cluster_size"))
+    scored = kept.selectExpr(
+        "doc_id", "lang", "source", "cluster_size",
+        "CAST(size(regexp_extract_all(text,"
+        " ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\\\s]+', 0)) AS BIGINT)"
+        " AS n_bpe",
+        "ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)"
+        " / (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1), 6)"
+        " AS mean_token_len",
+        "CASE WHEN size(filter(split(text, ' '),"
+        " t -> t IN ('the','a','of','and','to','in','is','on','for','with')))"
+        " * 50 >= size(split(text, ' ')) THEN 'en' ELSE 'other' END"
+        " AS lang_guess")
+    filtered = scored.where(_TD_FILTER)
+    w = (Window.partitionBy("lang", "source")
+         .orderBy(F.md5(F.col("doc_id").cast("string"))))
+    wn = Window.partitionBy("lang", "source")
+    ranked = filtered.select(
+        "lang", "source", "doc_id", "n_bpe", "cluster_size",
+        F.row_number().over(w).alias("rk"),
+        F.count("*").over(wn).alias("stratum_n"))
+    return ranked.where("rk <= CEIL(0.2 * stratum_n)").selectExpr(
+        "lang", "source", "CAST(doc_id AS BIGINT) AS doc_id",
+        "CAST(n_bpe AS BIGINT) AS n_bpe", "cluster_size",
+        "CAST(rk AS BIGINT) AS rk", "CAST(stratum_n AS BIGINT) AS stratum_n")
+
+
+# --- merged same-family gates ----------------------------------------------
+# scalar_map_ops: the four per-row map-op families under one roof.
+# Column map — veg:    id=p_partkey,             a=ndvi  b=sr     c=grvi  d=0
+#              boxcox: id=l_orderkey*10+lineno,  a=bc_05 b=bc_0   c=bc_inv
+#                                                               d=bc_inv_bias
+#              clean:  id=event_id,              a=cleaned        b=c=d=0
+#              polar:  id=c_custkey,             a=x_proj b=y_proj c=z_off d=0
+_SCALAR_MAP_OPS = f"""
+SELECT 'veg' AS section, CAST(p_partkey AS BIGINT) AS id,
+       ndvi AS a, sr AS b, grvi AS c, CAST(0 AS DOUBLE) AS d
+FROM ({_VEG_INDICES}) veg
+UNION ALL
+SELECT 'boxcox', CAST(l_orderkey * 10 + l_linenumber AS BIGINT),
+       bc_05, bc_0, bc_inv, bc_inv_bias
+FROM ({_BOXCOX}) bc
+UNION ALL
+SELECT 'clean', CAST(event_id AS BIGINT), cleaned,
+       CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+FROM ({_CLEAN_RASTER}) cl
+UNION ALL
+SELECT 'polar', CAST(c_custkey AS BIGINT), x_proj, y_proj, z_off,
+       CAST(0 AS DOUBLE)
+FROM ({_POLAR2PROJ}) pp
+"""
+
+# aba_model_scores: per-plot predictions + the one-row inference summary.
+# Column map — predict:   id=plot_id, a=prediction, b..g=0
+#              inference: id=0, a=srs_mean b=srs_var c=ed_mean d=n_obs
+#                         e=n_pred f=str_mean g=str_var
+_ABA_MODEL_SCORES = f"""
+SELECT 'predict' AS section, CAST(plot_id AS BIGINT) AS id,
+       prediction AS a, CAST(0 AS DOUBLE) AS b, CAST(0 AS DOUBLE) AS c,
+       CAST(0 AS DOUBLE) AS d, CAST(0 AS DOUBLE) AS e,
+       CAST(0 AS DOUBLE) AS f, CAST(0 AS DOUBLE) AS g
+FROM ({_ABA_PREDICT}) ap
+UNION ALL
+SELECT 'inference', CAST(0 AS BIGINT), srs_mean, srs_var, ed_mean,
+       CAST(n_obs AS DOUBLE), CAST(n_pred AS DOUBLE), str_mean, str_var
+FROM ({_ABA_INFERENCE}) ai
+"""
+
+# raster_masks: xy-distance mask + convex-hull mask.
+# Column map — xy:    a=cx    b=cy          c=mask_val
+#              chull: a=tile  b=mask_cells  c=hull_pts
+_RASTER_MASKS_DUCK = f"""
+SELECT 'xy' AS section, CAST(cx AS BIGINT) AS a, CAST(cy AS BIGINT) AS b,
+       CAST(mask_val AS DOUBLE) AS c
+FROM ({_xy_mask_sql("duck")}) xym
+UNION ALL
+SELECT 'chull', CAST(tile AS BIGINT), CAST(mask_cells AS BIGINT),
+       CAST(hull_pts AS DOUBLE)
+FROM ({_chull_mask_duck()}) chm
+"""
+
+
+def _raster_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """raster_xy_mask + raster_chull_mask as one section-tagged gate (the
+    constituents remain individually oracled in _EXTENDED)."""
+    load_views(spark, sf_dir)
+    xy = spark.sql(_xy_mask_sql("spark")).selectExpr(
+        "'xy' AS section", "CAST(cx AS BIGINT) AS a",
+        "CAST(cy AS BIGINT) AS b", "CAST(mask_val AS DOUBLE) AS c")
+    ch = _chull_mask(spark, sf_dir).selectExpr(
+        "'chull' AS section", "CAST(tile AS BIGINT) AS a",
+        "CAST(mask_cells AS BIGINT) AS b", "CAST(hull_pts AS DOUBLE) AS c")
+    return xy.unionAll(ch)
+
+
+# cell_index_dual: the Morton and Hilbert hierarchies side by side — same
+# quadrant rollup, same contiguous-range invariant, one row set per curve.
+_CELL_DUAL_DUCK = f"""
+SELECT 'morton' AS curve, * FROM ({_CELL_INDEX_DUCK}) mz
+UNION ALL
+SELECT 'hilbert', * FROM ({_hilbert_duck()}) hz
+"""
+
+
+def _cell_index_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both space-filling-curve indexes under one gate: Z-order (magic-mask
+    bit spread) and Hilbert (aggregate() rotate-reflect recurrence), each
+    re-derived by a structurally different DuckDB construction."""
+    cols = ["cell", "n", "min_code", "max_code", "sub_cells", "range_ok"]
+    m = _cell_index(spark, sf_dir).select(
+        F.lit("morton").alias("curve"), *cols)
+    h = _hilbert_index_gate(spark, sf_dir).select(
+        F.lit("hilbert").alias("curve"), *cols)
+    return m.unionAll(h)
+
+
+# --- the repack itself ------------------------------------------------------
+# demotions: constituents stay individually verifiable in the local gate set
+for _n in ("vegetation_indices", "boxcox_transforms", "clean_raster",
+           "polar2projected", "aba_predict", "aba_inference", "exact_dedup"):
+    _demoted_sql = _SHARED.pop(_n)
+    _EXTENDED[_n] = (_demoted_sql, _demoted_sql)
+for _n in ("raster_xy_mask", "raster_chull_mask", "cell_index_hierarchy",
+           "tile_prune_roi"):
+    _EXTENDED[_n] = _DIALECT.pop(_n)
+# merged replacements + the new composite
+_SHARED["scalar_map_ops"] = _SCALAR_MAP_OPS
+_SHARED["aba_model_scores"] = _ABA_MODEL_SCORES
+_DIALECT["raster_masks"] = (_raster_masks, _RASTER_MASKS_DUCK)
+_DIALECT["cell_index_dual"] = (_cell_index_dual, _CELL_DUAL_DUCK)
+_DIALECT["training_data_pipeline"] = (_training_pipeline, _TD_PIPELINE_DUCK)
+# promotions: round-3 composite pins enter the driver budget
+for _n in ("catalog_roi_stats", "checkpoint_resume_stats",
+           "halo_dominance_stats", "gap_merge_mosaic", "raster_local_max",
+           "coregistration_stats"):
+    _DIALECT[_n] = _EXTENDED.pop(_n)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
