@@ -1,18 +1,27 @@
 """Pure-python H.264 / AVC (ITU-T Rec. H.264 | ISO/IEC 14496-10) —
-Baseline-profile I_PCM subset, encoder and decoder.
+Baseline-profile all-intra encoder and decoder, two macroblock subsets:
 
-Scope (honest, spec-exact): every coded picture is an IDR frame whose
-macroblocks are all I_PCM (mb_type 25 in I slices, §7.4.5 / Table 7-11) —
-raw byte-aligned samples carried inside a real NAL/slice syntax. That makes
-the bitstream LOSSLESS (up to the §7.4.5 constraint that 8-bit PCM sample
-values shall not equal 0 in profiles 66/77/88 — the encoder clamps 0 -> 1,
-so roundtrip error is at most 1 LSB on black pixels, far above the 40 dB
-PSNR bar) and makes both directions fully implementable from the public
-spec without a CAVLC/CABAC entropy engine. The decoder parses the genuine
-syntax — NAL headers, EBSP emulation prevention (§7.3.1, 0x000003
-escaping), Exp-Golomb SPS/PPS/slice headers — and raises a specific
-NotImplementedError the moment it meets an entropy-coded macroblock, a
-CABAC PPS, or an interlaced SPS, so third-party streams fail loudly and
+1. I_PCM (mb_type 25, §7.4.5 / Table 7-11): raw byte-aligned samples in a
+   real NAL/slice syntax. LOSSLESS (up to the §7.4.5 constraint that 8-bit
+   PCM samples shall not equal 0 in profile 66 — the encoder clamps 0 -> 1,
+   at most 1 LSB of error on black pixels).
+2. CAVLC Intra_16x16 (mb_types 1-24): REAL entropy-coded video — §8.3.3
+   intra prediction (V/H/DC/Plane on reconstructed neighbors), §8.5 integer
+   core transform + luma DC Hadamard + quantization, §9.2 CAVLC residual
+   coding (coeff_token / levels / total_zeros / run_before — tables and
+   engine in h264_cavlc.py, with its validation story stated there). Rate
+   and distortion follow qp: qp=0 is near-lossless (~66 dB), qp<=18 clears
+   the 40 dB PSNR bar on the engine's tile imagery. Encoded streams
+   explicitly disable the §8.7 deblocking filter (PPS
+   deblocking_filter_control_present_flag=1 + slice idc=1), so they decode
+   EXACTLY on any conformant decoder and on this one.
+
+The decoder parses the genuine syntax — NAL headers, EBSP emulation
+prevention (§7.3.1, 0x000003 escaping), Exp-Golomb SPS/PPS/slice headers —
+and raises a specific NotImplementedError the moment it meets what it
+cannot decode exactly: CABAC entropy coding, I_NxN (per-4x4 intra)
+macroblocks, inter slices, interlace, or an entropy-coded slice that
+leaves the deblocking filter enabled. Third-party streams fail loudly and
 precisely rather than mis-decoding.
 
 Frames are grayscale (the engine's canopy tiles): luma carries the image,
@@ -208,8 +217,12 @@ def encode_sps(w: int, h: int) -> bytes:
     return bw.rbsp()
 
 
-def encode_pps() -> bytes:
-    """Pic parameter set RBSP (§7.3.2.2): CAVLC, no slice groups."""
+def encode_pps(deblock_control: bool = False) -> bytes:
+    """Pic parameter set RBSP (§7.3.2.2): CAVLC, no slice groups.
+
+    deblock_control=True lets slice headers carry
+    disable_deblocking_filter_idc — the CAVLC encoder disables the loop
+    filter there so its streams decode exactly without §8.7."""
     bw = BitWriter()
     bw.ue(0)              # pic_parameter_set_id
     bw.ue(0)              # seq_parameter_set_id
@@ -223,7 +236,8 @@ def encode_pps() -> bytes:
     bw.se(0)              # pic_init_qp_minus26
     bw.se(0)              # pic_init_qs_minus26
     bw.se(0)              # chroma_qp_index_offset
-    bw.u(1, 0)            # deblocking_filter_control_present_flag
+    bw.u(1, 1 if deblock_control else 0)
+    #                       deblocking_filter_control_present_flag
     bw.u(1, 0)            # constrained_intra_pred_flag
     bw.u(1, 0)            # redundant_pic_cnt_present_flag
     bw.rbsp_trailing()
@@ -288,6 +302,190 @@ def encode_h264_ipcm(frames: np.ndarray) -> tuple[bytes, bytes, list[bytes]]:
 
 
 # --------------------------------------------------------------------------
+# CAVLC I_16x16 coding (entropy layer + transform in h264_cavlc.py)
+#
+# Intra_16x16 prediction (§8.3.3): mode 0 Vertical, 1 Horizontal, 2 DC,
+# 3 Plane. Prediction always runs on RECONSTRUCTED neighbor pixels, so the
+# encoder reconstructs each MB exactly as the decoder will.
+
+def _intra16_pred(mode: int, top: np.ndarray | None,
+                  left: np.ndarray | None) -> np.ndarray | None:
+    """16x16 int64 prediction, or None if the mode's neighbors are absent."""
+    if mode == 0:                       # Vertical
+        if top is None:
+            return None
+        return np.tile(top.astype(np.int64), (16, 1))
+    if mode == 1:                       # Horizontal
+        if left is None:
+            return None
+        return np.tile(left.astype(np.int64)[:, None], (1, 16))
+    if mode == 2:                       # DC
+        if top is not None and left is not None:
+            dc = (int(top.sum()) + int(left.sum()) + 16) >> 5
+        elif top is not None:
+            dc = (int(top.sum()) + 8) >> 4
+        elif left is not None:
+            dc = (int(left.sum()) + 8) >> 4
+        else:
+            dc = 128
+        return np.full((16, 16), dc, np.int64)
+    # Plane (§8.3.3.4)
+    if top is None or left is None:
+        return None
+    t = top.astype(np.int64)
+    le = left.astype(np.int64)
+    hh = sum((x + 1) * (int(t[8 + x]) - int(t[6 - x])) for x in range(8))
+    vv = sum((y + 1) * (int(le[8 + y]) - int(le[6 - y])) for y in range(8))
+    a = 16 * (int(le[15]) + int(t[15]))
+    b = (5 * hh + 32) >> 6
+    c = (5 * vv + 32) >> 6
+    xs = np.arange(16, dtype=np.int64)
+    plane = (a + b * (xs[None, :] - 7) + c * (xs[:, None] - 7) + 16) >> 5
+    return np.clip(plane, 0, 255)
+
+
+def _blk_xy(b: int) -> tuple[int, int]:
+    """4x4 luma block scan order inside an MB (§6.4.3): raster of 4x4
+    blocks within each 8x8 quadrant, quadrants in raster order."""
+    q, i = b // 4, b % 4
+    return (q % 2) * 8 + (i % 2) * 4, (q // 2) * 8 + (i // 2) * 4
+
+
+def _nc_luma(nnz: np.ndarray, bx: int, by: int) -> int:
+    """§9.2.1 nC from the left/top neighbor 4x4 blocks' stored TotalCoeff
+    (-1 in the grid marks unavailable/outside the picture)."""
+    na = nnz[by, bx - 1] if bx > 0 else -1
+    nb = nnz[by - 1, bx] if by > 0 else -1
+    if na >= 0 and nb >= 0:
+        return (int(na) + int(nb) + 1) >> 1
+    if na >= 0:
+        return int(na)
+    if nb >= 0:
+        return int(nb)
+    return 0
+
+
+def _reconstruct_i16(pred: np.ndarray, dc_z: np.ndarray,
+                     ac_blocks: list[list[int]], qp: int) -> np.ndarray:
+    """Shared encoder/decoder reconstruction: §8.5.10 DC path + §8.5.12
+    AC dequant/inverse transform, then pred + residual, clipped."""
+    from lidartree_spark import h264_cavlc as cv
+
+    dc = cv.luma_dc_inverse(dc_z, qp)
+    out = np.empty((16, 16), np.uint8)
+    for b in range(16):
+        x, y = _blk_xy(b)
+        z = np.zeros((4, 4), np.int64)
+        for k, (i, j) in enumerate(cv.ZIGZAG[1:]):
+            z[i, j] = ac_blocks[b][k]
+        d = cv.dequant4x4_ac(z, qp)
+        d[0, 0] = dc[y // 4, x // 4]
+        res = cv.inverse4x4(d)
+        out[y:y + 4, x:x + 4] = np.clip(
+            pred[y:y + 4, x:x + 4] + res, 0, 255).astype(np.uint8)
+    return out
+
+
+def encode_idr_i16(img: np.ndarray, idr_pic_id: int, qp: int = 10) -> bytes:
+    """One IDR coded-slice RBSP, every MB Intra_16x16 with CAVLC residuals
+    (§7.3.5, §7.3.5.3.2). Luma carries the image; CodedBlockPatternChroma
+    is 0 (flat-chroma grayscale engine), so no chroma residual is coded.
+    Per MB the encoder tries every available prediction mode (V/H/DC/Plane)
+    on reconstructed neighbors and keeps the minimum-SAE one."""
+    from lidartree_spark import h264_cavlc as cv
+
+    if not 0 <= qp <= 51:
+        raise ValueError("qp out of [0, 51]")
+    padded = _pad_mb(img).astype(np.int64)
+    mb_h, mb_w = padded.shape[0] // 16, padded.shape[1] // 16
+    recon = np.zeros_like(padded)
+    # per-4x4 TotalCoeff grid for nC context; -1 = outside picture
+    nnz = np.full((4 * mb_h, 4 * mb_w), 0, np.int64)
+
+    bw = BitWriter()
+    bw.ue(0)                       # first_mb_in_slice
+    bw.ue(7)                       # slice_type 7: I
+    bw.ue(0)                       # pic_parameter_set_id
+    bw.u(LOG2_MAX_FRAME_NUM, 0)    # frame_num
+    bw.ue(idr_pic_id & 0xFFFF)     # idr_pic_id
+    bw.u(1, 0)                     # no_output_of_prior_pics_flag
+    bw.u(1, 0)                     # long_term_reference_flag
+    bw.se(qp - 26)                 # slice_qp_delta (pic_init_qp = 26)
+    bw.ue(1)                       # disable_deblocking_filter_idc = 1
+
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            src = padded[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16]
+            top = recon[my * 16 - 1, mx * 16:(mx + 1) * 16] \
+                if my > 0 else None
+            left = recon[my * 16:(my + 1) * 16, mx * 16 - 1] \
+                if mx > 0 else None
+            best = None
+            for mode in (2, 0, 1, 3):
+                pred = _intra16_pred(mode, top, left)
+                if pred is None:
+                    continue
+                sae = int(np.abs(src - pred).sum())
+                if best is None or sae < best[0]:
+                    best = (sae, mode, pred)
+            _, mode, pred = best
+            res = src - pred
+            # transform: 16 core transforms, DC split through Hadamard
+            w_blocks, dc = [], np.zeros((4, 4), np.int64)
+            for b in range(16):
+                x, y = _blk_xy(b)
+                w = cv.forward4x4(res[y:y + 4, x:x + 4])
+                dc[y // 4, x // 4] = w[0, 0]
+                w_blocks.append(w)
+            dc_z = cv.luma_dc_forward(dc, qp)
+            ac_q = []
+            for b in range(16):
+                z = cv.quant4x4(w_blocks[b], qp)
+                x, y = _blk_xy(b)
+                ac_q.append([int(z[i, j]) for i, j in cv.ZIGZAG[1:]])
+            cbp_luma = 15 if any(any(a) for a in ac_q) else 0
+            mb_type = 1 + mode + 12 * (1 if cbp_luma else 0)
+            bw.ue(mb_type)
+            bw.ue(0)               # intra_chroma_pred_mode: DC
+            bw.se(0)               # mb_qp_delta
+            # Intra16x16DCLevel: nC as for luma blk 0 (§9.2.1)
+            bx0, by0 = 4 * mx, 4 * my
+            dc_scan = [int(dc_z[i, j]) for i, j in cv.ZIGZAG]
+            cv.encode_residual(bw, dc_scan, _nc_luma(nnz, bx0, by0), 16)
+            if cbp_luma:
+                for b in range(16):
+                    x, y = _blk_xy(b)
+                    bx, by = bx0 + x // 4, by0 + y // 4
+                    tc = cv.encode_residual(
+                        bw, ac_q[b], _nc_luma(nnz, bx, by), 15)
+                    nnz[by, bx] = tc
+            else:
+                nnz[by0:by0 + 4, bx0:bx0 + 4] = 0
+                ac_q = [[0] * 15 for _ in range(16)]
+            recon[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
+                _reconstruct_i16(pred, dc_z, ac_q, qp)
+    bw.rbsp_trailing()
+    return bw.rbsp()
+
+
+def encode_h264_cavlc(frames: np.ndarray, qp: int = 10) \
+        -> tuple[bytes, bytes, list[bytes]]:
+    """(n, h, w) frames -> (sps_nal, pps_nal, [slice_nal]), every MB
+    CAVLC-coded Intra_16x16 (real entropy coding, lossy per qp)."""
+    f = np.asarray(frames)
+    if f.ndim != 3:
+        raise ValueError("frames must be (n, h, w)")
+    if f.dtype != np.uint8:
+        f = np.clip(np.round(f.astype(np.float64) * 255.0), 0, 255) \
+            .astype(np.uint8)
+    n, h, w = f.shape
+    sps = nal(7, encode_sps(w, h))
+    pps = nal(8, encode_pps(deblock_control=True))
+    slices = [nal(5, encode_idr_i16(f[i], i, qp)) for i in range(n)]
+    return sps, pps, slices
+
+
+# --------------------------------------------------------------------------
 # decoder
 
 def parse_sps(rbsp: bytes) -> dict:
@@ -347,17 +545,31 @@ def parse_pps(rbsp: bytes) -> dict:
     br.ue()
     br.u(1)
     br.u(2)
-    br.se()  # pic_init_qp_minus26
+    pic_init_qp_minus26 = br.se()
     br.se()
     br.se()
     deblock_present = br.u(1)
     br.u(1)  # constrained_intra_pred_flag
     br.u(1)  # redundant_pic_cnt_present_flag
-    return {"deblocking_filter_control_present_flag": deblock_present}
+    return {"deblocking_filter_control_present_flag": deblock_present,
+            "pic_init_qp_minus26": pic_init_qp_minus26}
 
 
-def decode_slice_ipcm(rbsp: bytes, sps: dict, pps: dict) -> np.ndarray:
-    """Decode one all-I_PCM coded slice RBSP -> (16*mb_h, 16*mb_w) luma."""
+def decode_slice_i(rbsp: bytes, sps: dict, pps: dict) -> np.ndarray:
+    """Decode one I-slice RBSP -> (16*mb_h, 16*mb_w) luma. Handles I_PCM
+    (mb_type 25) and CAVLC Intra_16x16 (mb_type 1..24) macroblocks, mixed
+    freely. I_NxN (mb_type 0: per-4x4 intra prediction) still raises.
+    Chroma residuals are parsed for bitstream sync but not reconstructed
+    (grayscale engine). A stream with the deblocking filter ENABLED would
+    need §8.7 loop filtering for exact output, which is out of scope —
+    raises rather than returning silently-unfiltered pixels (our encoder
+    writes deblocking_filter_control_present_flag=0 streams; those carry
+    no deblocking semantics for all-intra... the filter applies by default,
+    so only accept streams whose slices disable it explicitly or that are
+    all-I_PCM, where the filter is a no-op by §8.7's bS derivation on PCM
+    edges being irrelevant to PCM samples themselves)."""
+    from lidartree_spark import h264_cavlc as cv
+
     br = BitReader(rbsp)
     if br.ue() != 0:
         raise NotImplementedError("multi-slice H.264 pictures not supported")
@@ -374,28 +586,105 @@ def decode_slice_ipcm(rbsp: bytes, sps: dict, pps: dict) -> np.ndarray:
                                   "not supported")
     br.u(1)  # no_output_of_prior_pics_flag
     br.u(1)  # long_term_reference_flag
-    br.se()  # slice_qp_delta
+    qp = 26 + pps.get("pic_init_qp_minus26", 0) + br.se()
+    deblock_disabled = False
     if pps["deblocking_filter_control_present_flag"]:
-        if br.ue() != 1:  # disable_deblocking_filter_idc
+        idc = br.ue()  # disable_deblocking_filter_idc
+        deblock_disabled = (idc == 1)
+        if idc != 1:
             br.se()
             br.se()
     mb_w, mb_h = sps["mb_w"], sps["mb_h"]
-    luma = np.empty((16 * mb_h, 16 * mb_w), np.uint8)
+    luma = np.zeros((16 * mb_h, 16 * mb_w), np.uint8)
+    nnz = np.zeros((4 * mb_h, 4 * mb_w), np.int64)       # luma AC TotalCoeff
+    cnnz = np.zeros((2, 2 * mb_h, 2 * mb_w), np.int64)   # chroma AC, Cb/Cr
     for mb in range(mb_w * mb_h):
-        mb_type = br.ue()
-        if mb_type != 25:
-            raise NotImplementedError(
-                f"H.264 mb_type {mb_type}: entropy-coded (CAVLC residual) "
-                "macroblocks are out of scope; only I_PCM decodes")
-        br.align()
         my, mx = divmod(mb, mb_w)
-        block = np.frombuffer(br.bytes_aligned(256), np.uint8)
+        mb_type = br.ue()
+        if mb_type == 25:  # I_PCM
+            br.align()
+            block = np.frombuffer(br.bytes_aligned(256), np.uint8)
+            luma[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
+                block.reshape(16, 16)
+            br.bytes_aligned(128)  # chroma, discarded (grayscale engine)
+            # §9.2.1: PCM macroblock blocks count as 16 coefficients
+            nnz[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 16
+            cnnz[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 16
+            continue
+        if mb_type == 0:
+            raise NotImplementedError(
+                "H.264 I_NxN (per-4x4 intra prediction) macroblocks not "
+                "supported; Intra_16x16 CAVLC and I_PCM decode")
+        if mb_type > 25:
+            raise ValueError(f"invalid I-slice mb_type {mb_type}")
+        if not deblock_disabled:
+            # §8.7 applies the loop filter by default; decoding an
+            # entropy-coded slice without it would silently diverge from a
+            # conformant decoder on block edges. (All-I_PCM slices are
+            # exempt: PCM macroblocks deblock at QP 0, where the
+            # alpha/beta thresholds are 0 and no edge ever filters.)
+            raise NotImplementedError(
+                "H.264 deblocking filter (§8.7) not implemented: this "
+                "entropy-coded slice leaves it enabled; only streams with "
+                "disable_deblocking_filter_idc=1 decode exactly")
+        k = mb_type - 1
+        pred_mode, cbp_chroma = k % 4, (k // 4) % 3
+        cbp_luma = 15 if k >= 12 else 0
+        br.ue()                    # intra_chroma_pred_mode (chroma unused)
+        qp = (qp + br.se()) % 52   # mb_qp_delta (§7.4.5 modular wrap)
+        top = luma[my * 16 - 1, mx * 16:(mx + 1) * 16].astype(np.int64) \
+            if my > 0 else None
+        left = luma[my * 16:(my + 1) * 16, mx * 16 - 1].astype(np.int64) \
+            if mx > 0 else None
+        pred = _intra16_pred(pred_mode, top, left)
+        if pred is None:
+            raise ValueError("intra prediction mode needs unavailable "
+                             "neighbors (corrupt stream)")
+        bx0, by0 = 4 * mx, 4 * my
+        dc_scan, _ = cv.decode_residual(br, _nc_luma(nnz, bx0, by0), 16)
+        dc_z = np.zeros((4, 4), np.int64)
+        for kk, (i, j) in enumerate(cv.ZIGZAG):
+            dc_z[i, j] = dc_scan[kk]
+        ac_blocks = []
+        if cbp_luma:
+            for b in range(16):
+                x, y = _blk_xy(b)
+                bx, by = bx0 + x // 4, by0 + y // 4
+                coeffs, tc = cv.decode_residual(
+                    br, _nc_luma(nnz, bx, by), 15)
+                nnz[by, bx] = tc
+                ac_blocks.append(coeffs)
+        else:
+            nnz[by0:by0 + 4, bx0:bx0 + 4] = 0
+            ac_blocks = [[0] * 15 for _ in range(16)]
+        # chroma residual: parse-only (sync), §7.3.5.3.2 order
+        if cbp_chroma:
+            for _comp in range(2):
+                cv.decode_residual(br, -1, 4)      # ChromaDCLevel, nC = -1
+        if cbp_chroma == 2:
+            for comp in range(2):
+                for cb in range(4):
+                    cbx = 2 * mx + cb % 2
+                    cby = 2 * my + cb // 2
+                    na = cnnz[comp, cby, cbx - 1] if cbx > 0 else -1
+                    nb = cnnz[comp, cby - 1, cbx] if cby > 0 else -1
+                    if na >= 0 and nb >= 0:
+                        nc = (int(na) + int(nb) + 1) >> 1
+                    else:
+                        nc = max(int(na), int(nb), 0)
+                    _, tc = cv.decode_residual(br, nc, 15)
+                    cnnz[comp, cby, cbx] = tc
+        else:
+            cnnz[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
         luma[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
-            block.reshape(16, 16)
-        br.bytes_aligned(128)  # chroma, discarded (grayscale engine)
+            _reconstruct_i16(pred, dc_z, ac_blocks, qp)
     if br.more_rbsp_data():
         raise ValueError("trailing macroblock data beyond PicSizeInMbs")
     return luma
+
+
+# kept name: the I_PCM-era public API, now decoding the general I-slice set
+decode_slice_ipcm = decode_slice_i
 
 
 def decode_h264_ipcm(sps_nal: bytes, pps_nal: bytes,

@@ -122,19 +122,28 @@ def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 10,
     return _mux(samples, w, h, fps, entry)
 
 
-def encode_mp4_h264(frames: np.ndarray, fps: int = 10) -> bytes:
-    """(n, h, w) -> MP4 bytes: 'avc1' track, all-I_PCM IDR samples.
+def encode_mp4_h264(frames: np.ndarray, fps: int = 10,
+                    qp: int | None = None) -> bytes:
+    """(n, h, w) -> MP4 bytes: 'avc1' track of IDR samples.
 
+    qp=None: all-I_PCM macroblocks — lossless except PCM's 0 -> 1 clamp.
+    qp=int:  CAVLC-coded Intra_16x16 macroblocks (real entropy coding,
+             transform + quantization; PSNR set by qp — >= 40 dB holds
+             through qp ~= 20 on smooth tiles).
     SPS/PPS ride in the avcC record (14496-15 §5.3.3); each sample is one
-    4-byte-length-prefixed IDR NAL. Lossless except PCM's 0 -> 1 clamp.
+    4-byte-length-prefixed IDR NAL.
     """
+    from lidartree_spark.h264 import encode_h264_cavlc
+
     f = _norm_frames(frames)
     n, h, w = f.shape
-    sps, pps, slices = encode_h264_ipcm(f)
+    sps, pps, slices = (encode_h264_ipcm(f) if qp is None
+                        else encode_h264_cavlc(f, qp=qp))
     avcc_body = (bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
                  + struct.pack(">H", len(sps)) + sps
                  + bytes([1]) + struct.pack(">H", len(pps)) + pps)
-    entry = _visual_sample_entry(b"avc1", w, h, b"h264-ipcm",
+    entry = _visual_sample_entry(b"avc1", w, h,
+                                 b"h264-ipcm" if qp is None else b"h264-cavlc",
                                  ext=_box(b"avcC", avcc_body))
     samples = [struct.pack(">I", len(s)) + s for s in slices]
     return _mux(samples, w, h, fps, entry)
@@ -297,7 +306,8 @@ def decode_mp4(buf: bytes) -> np.ndarray:
         return decode_h264_ipcm(sps, pps, nals)
     raise NotImplementedError(
         f"mp4 codec {fourcc!r} not supported (Motion-JPEG and the H.264 "
-        "I_PCM subset decode; entropy-coded H.264/HEVC are out of scope)")
+        "I_PCM + CAVLC-Intra_16x16 subsets decode; CABAC, I_NxN and HEVC "
+        "are out of scope)")
 
 
 # kept name: the Motion-JPEG-era public API, now codec-dispatching
