@@ -11,11 +11,11 @@ signatures) is real and tested. Format decoders:
 - fmt == "avi"     -> REAL RIFF/AVI Motion-JPEG (lidartree_spark.avi; each
   frame is a baseline JPEG)
 - fmt == "mp4"     -> REAL ISO-BMFF / MP4 (lidartree_spark.mp4: full box
-  tree + stsd/stts/stsc/stsz/stco|co64 sample table). Two sample codecs
-  decode: 'jpeg' (Motion-JPEG) and 'avc1' H.264 restricted to the all-I_PCM
-  Baseline subset (lidartree_spark.h264 — real NAL/EBSP/Exp-Golomb/slice
-  syntax; entropy-coded CAVLC/CABAC macroblocks raise a specific
-  NotImplementedError).
+  tree + stsd/stts/stsc/stsz/stco|co64 sample table). Sample codecs that
+  decode: 'jpeg' (Motion-JPEG) and 'avc1' H.264 in two Baseline subsets
+  (lidartree_spark.h264 — real NAL/EBSP/Exp-Golomb/slice syntax): lossless
+  all-I_PCM and entropy-coded CAVLC Intra_16x16 (h264_cavlc.py). CABAC,
+  I_NxN and inter slices raise a specific NotImplementedError.
 
 No stub decoders remain (STUB_FORMATS is empty); `FakeDecoder` survives
 only as the deterministic pixel/sample SOURCE for synthetic_media — i.e. a
@@ -235,7 +235,8 @@ def synthetic_media(spark, n: int = 24) -> DataFrame:
     """Small deterministic media table exercising all three kinds. Images
     alternate REAL baseline JPEG and REAL PNG payloads; audio carries REAL
     RIFF/WAVE PCM16 bytes; video rotates REAL RIFF/AVI Motion-JPEG,
-    ISO-BMFF/MP4 Motion-JPEG, and MP4 'avc1' H.264 I_PCM containers."""
+    ISO-BMFF/MP4 Motion-JPEG, MP4 'avc1' H.264 I_PCM (lossless), and MP4
+    'avc1' H.264 CAVLC Intra_16x16 (entropy-coded) containers."""
     from lidartree_spark.avi import encode_avi_mjpeg
     from lidartree_spark.codecs import encode_png_gray16
     from lidartree_spark.jpeg import encode_jpeg_gray
@@ -269,13 +270,15 @@ def synthetic_media(spark, n: int = 24) -> DataFrame:
         else:
             nf = 8 + (i % 5)
             frames = FakeDecoder.video(mid, 16, 12, nf)
-            variant = (i // 3) % 3
+            variant = (i // 3) % 4
             if variant == 0:
                 blob, fmt = encode_avi_mjpeg(frames, quality=95), "avi"
             elif variant == 1:
                 blob, fmt = encode_mp4_mjpeg(frames, quality=95), "mp4"
-            else:  # lossless-PCM H.264 track behind the same 'mp4' fmt tag
+            elif variant == 2:  # lossless-PCM H.264 track, same 'mp4' tag
                 blob, fmt = encode_mp4_h264(frames), "mp4"
+            else:  # entropy-coded CAVLC Intra_16x16 H.264 track
+                blob, fmt = encode_mp4_h264(frames, qp=8), "mp4"
             rows.append({"media_id": mid, "kind": kind,
                          "bytes": blob,
                          "fmt": fmt, "width": 16, "height": 12,

@@ -4522,6 +4522,104 @@ for _n in ("catalog_roi_stats", "checkpoint_resume_stats",
     _DIALECT[_n] = _EXTENDED.pop(_n)
 
 
+# --- multimodal VIDEO gate (extended set; the 50-row budget is full) -------
+# Eight analytic videos, frame[t, y, x] = 40 + 3t + 4y + 5x (planar, <=255,
+# no zeros so I_PCM's 0->1 clamp never fires), round-robin through the four
+# REAL container/codec paths. Distributed mapInPandas does encode -> decode
+# -> stats. The I_PCM rows decode EXACTLY to the formula, so DuckDB
+# re-derives their sum/min/max in closed form; the lossy rows (Motion-JPEG
+# q95, CAVLC qp8 — planar content both codecs reproduce well) contribute
+# exact shape counts plus a psnr_ge_40 boolean computed against the in-UDF
+# ground truth (the whole codec stack is integer-deterministic, so the
+# boolean is stable), with -1 sentinels for the non-derivable sums.
+
+def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video round-trips, distributed: AVI/MJPEG, MP4/MJPEG,
+    MP4/H.264-I_PCM (pinned exactly) and MP4/H.264-CAVLC (real entropy
+    coding; quality-bounded). Oracle: _VIDEO_STATS_DUCK."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        from lidartree_spark.avi import decode_avi_mjpeg, encode_avi_mjpeg
+        from lidartree_spark.mp4 import (decode_mp4, encode_mp4_h264,
+                                         encode_mp4_mjpeg)
+        cols = ["video_id", "codec", "n_frames", "h", "w", "sum_px",
+                "min_px", "max_px", "psnr_ge_40"]
+        for pdf in batches:
+            out = []
+            for vid in pdf["id"]:
+                vid = int(vid)
+                w = 16 + 4 * (vid % 3)
+                h = 12 + 4 * (vid % 2)
+                nf = 6 + vid % 4
+                t, y, x = np.mgrid[0:nf, 0:h, 0:w]
+                truth = (40 + 3 * t + 4 * y + 5 * x).astype(np.uint8)
+                codec = ("avi_mjpeg", "mp4_mjpeg", "mp4_ipcm",
+                         "mp4_cavlc")[vid % 4]
+                if codec == "avi_mjpeg":
+                    dec = decode_avi_mjpeg(encode_avi_mjpeg(truth,
+                                                            quality=95))
+                elif codec == "mp4_mjpeg":
+                    dec = decode_mp4(encode_mp4_mjpeg(truth, quality=95))
+                elif codec == "mp4_ipcm":
+                    dec = decode_mp4(encode_mp4_h264(truth))
+                else:
+                    dec = decode_mp4(encode_mp4_h264(truth, qp=8))
+                err = dec.astype(np.float64) - truth.astype(np.float64)
+                mse = float((err ** 2).mean())
+                psnr_ok = mse == 0.0 or \
+                    10.0 * np.log10(255.0 ** 2 / mse) >= 40.0
+                exact = codec == "mp4_ipcm"
+                out.append({
+                    "video_id": vid, "codec": codec,
+                    "n_frames": int(dec.shape[0]),
+                    "h": int(dec.shape[1]), "w": int(dec.shape[2]),
+                    "sum_px": int(dec.astype(np.int64).sum())
+                    if exact else -1,
+                    "min_px": int(dec.min()) if exact else -1,
+                    "max_px": int(dec.max()) if exact else -1,
+                    "psnr_ge_40": bool(psnr_ok),
+                })
+            yield pd.DataFrame(out, columns=cols)
+
+    return spark.range(8).repartition(4).mapInPandas(
+        run, schema=("video_id bigint, codec string, n_frames bigint, "
+                     "h bigint, w bigint, sum_px bigint, min_px bigint, "
+                     "max_px bigint, psnr_ge_40 boolean"))
+
+
+_VIDEO_STATS_DUCK = """
+WITH dims AS (
+  SELECT v, 16 + 4 * (v % 3) AS w, 12 + 4 * (v % 2) AS h, 6 + v % 4 AS nf,
+         CASE v % 4 WHEN 0 THEN 'avi_mjpeg' WHEN 1 THEN 'mp4_mjpeg'
+                    WHEN 2 THEN 'mp4_ipcm' ELSE 'mp4_cavlc' END AS codec
+  FROM UNNEST(generate_series(0, 7)) g(v)
+),
+px AS (
+  SELECT d.v, 40 + 3 * tt.t + 4 * yy.y + 5 * xx.x AS val
+  FROM dims d,
+       UNNEST(generate_series(0, d.nf - 1)) tt(t),
+       UNNEST(generate_series(0, d.h - 1)) yy(y),
+       UNNEST(generate_series(0, d.w - 1)) xx(x)
+  WHERE d.codec = 'mp4_ipcm'
+),
+exact AS (SELECT v, SUM(val) AS s, MIN(val) AS mn, MAX(val) AS mx
+          FROM px GROUP BY v)
+SELECT CAST(d.v AS BIGINT) AS video_id, d.codec,
+       CAST(d.nf AS BIGINT) AS n_frames,
+       CAST(d.h AS BIGINT) AS h, CAST(d.w AS BIGINT) AS w,
+       CAST(COALESCE(e.s, -1) AS BIGINT) AS sum_px,
+       CAST(COALESCE(e.mn, -1) AS BIGINT) AS min_px,
+       CAST(COALESCE(e.mx, -1) AS BIGINT) AS max_px,
+       TRUE AS psnr_ge_40
+FROM dims d LEFT JOIN exact e ON e.v = d.v
+"""
+
+_EXTENDED["multimodal_video_stats"] = (_video_stats, _VIDEO_STATS_DUCK)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SHARED.items():
