@@ -284,3 +284,77 @@ def synthetic_media(spark, n: int = 24) -> DataFrame:
                          "fmt": fmt, "width": 16, "height": 12,
                          "channels": 1, "sample_rate": 0, "n_frames": nf})
     return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+
+
+def image_phash(media: DataFrame, pixel_scale: int = 256) -> DataFrame:
+    """decode -> (bilinear resize to 8x8 if needed) -> integer-DCT pHash.
+
+    One Arrow-batched mapInPandas pass over the binary column — the same
+    scan-stage shape as image_features: embarrassingly parallel, zero
+    shuffle, so it runs at whatever parallelism the parquet scan gives it.
+    Pixels are quantized to round(value * pixel_scale) int64 before the
+    integer transform (kernels/phash.py); for the lossless decode paths
+    (raw_f32, png's 1/256 grid) the quantization is exact, so the hash is
+    a pure function of the stored bytes — rerun-stable and
+    oracle-reproducible (driver gate: queries.phash_neardup).
+    """
+    from lidartree_spark.kernels.phash import phash64_batch
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blocks = [], []
+            for rec in pdf.itertuples():
+                img = decode_image_array(rec)[..., 0]
+                if img.shape != (8, 8):
+                    img = resize_bilinear(img[..., None], 8, 8)[..., 0]
+                blocks.append(np.round(np.asarray(img, dtype=np.float64)
+                                       * pixel_scale).astype(np.int64))
+                ids.append(rec.media_id)
+            hs = phash64_batch(np.stack(blocks)) if blocks else []
+            yield pd.DataFrame({"media_id": ids,
+                                "phash": pd.array(hs, dtype="int64")},
+                               columns=["media_id", "phash"])
+
+    cols = ["media_id", "bytes", "fmt", "width", "height"]
+    return media.select(*cols).mapInPandas(
+        run, schema="media_id string, phash long")
+
+
+def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 7,
+                        n_bands: int = 8, band_bits: int = 8) -> DataFrame:
+    """Banded-LSH near-duplicate pairs over a (media_id, phash) table.
+
+    Splits the 63-bit hash into `n_bands` bands of `band_bits` bits and
+    equi-joins on (band index, band value): complete for Hamming distance
+    <= n_bands - 1 by pigeonhole (default 8 bands => every pair at
+    distance <= 7 shares an unchanged band). One keyed shuffle on the
+    band key — no all-pairs stage, the plan that survives 100x data.
+    """
+    from pyspark.sql import functions as F
+
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"banding with {n_bands} bands is only complete for "
+            f"Hamming <= {n_bands - 1}, got max_hamming={max_hamming}")
+    bands = hashes.select(
+        "media_id", "phash",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("b"))
+    mask = (1 << band_bits) - 1
+    bands = bands.withColumn(
+        "band_val",
+        F.expr(f"shiftright(phash, b * {band_bits}) & {mask}L"))
+    a, c = bands.alias("a"), bands.alias("c")
+    cand = (a.join(c, [F.col("a.b") == F.col("c.b"),
+                       F.col("a.band_val") == F.col("c.band_val"),
+                       F.col("a.media_id") < F.col("c.media_id")])
+            .select(F.col("a.media_id").alias("media_a"),
+                    F.col("c.media_id").alias("media_b"),
+                    F.col("a.phash").alias("ha"),
+                    F.col("c.phash").alias("hb"))
+            .distinct())
+    return (cand
+            .withColumn("hamming",
+                        F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+                        .cast("long"))
+            .where(F.col("hamming") <= max_hamming)
+            .select("media_a", "media_b", "hamming"))

@@ -883,6 +883,36 @@ def _ngram_jaccard_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")))
 
 
+def _text_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged text near-dup pair gate (driver-budget repack: one row pins
+    BOTH shingle-based pair finders). section='minhash' = MinHash+LSH band
+    collisions; section='jaccard' = exact n-gram Jaccard >= 0.12 with the
+    shingle self-join salted through grid.salted_join (the oracle stays
+    the plain join — the physical rewrite must change nothing)."""
+    load_views(spark, sf_dir)
+    mh = spark.sql(_minhash_sql(_SHINGLES_SPARK, "spark"))
+    jac = _ngram_jaccard_salted(spark, sf_dir)
+    return (mh.select(F.lit("minhash").alias("section"), "doc_a", "doc_b",
+                      F.col("shared_bands").cast("double").alias("val"))
+            .unionByName(
+                jac.select(F.lit("jaccard").alias("section"), "doc_a",
+                           "doc_b", F.col("jaccard").alias("val"))))
+
+
+def _text_neardup_duck() -> str:
+    mh = _minhash_sql(_SHINGLES_DUCK, "duck").replace("AS STRING",
+                                                      "AS VARCHAR")
+    jc = _jaccard_sql(_SHINGLES_DUCK)
+    return f"""
+SELECT 'minhash' AS section, doc_a, doc_b,
+       CAST(shared_bands AS DOUBLE) AS val
+FROM ({mh}) mh_rows
+UNION ALL
+SELECT 'jaccard' AS section, doc_a, doc_b, jaccard AS val
+FROM ({jc}) jac_rows
+"""
+
+
 _SIMHASH_SPARK = """
 WITH toks AS (
   SELECT doc_id, explode(split(text, ' ')) AS tok
@@ -1693,10 +1723,11 @@ _DIALECT = {
     "text_analysis": (_TEXT_ANALYSIS_SPARK, _TEXT_ANALYSIS_DUCK),
     "rabin_fingerprint": (_RABIN_SPARK, _RABIN_DUCK),
     "token_topk": (_TOKEN_TOPK_SPARK, _TOKEN_TOPK_DUCK),
-    "minhash_lsh": (_minhash_sql(_SHINGLES_SPARK, "spark"),
-                    _minhash_sql(_SHINGLES_DUCK, "duck")
-                    .replace("AS STRING", "AS VARCHAR")),
-    "ngram_jaccard": (_ngram_jaccard_salted, _jaccard_sql(_SHINGLES_DUCK)),
+    # driver-budget repack (round 3b): the two shingle-based pair finders
+    # share one section-tagged row; their standalone twins live in
+    # _EXTENDED, and the freed slot pins phash_neardup (the image-side
+    # near-dup family member) as a driver row.
+    "text_neardup": (_text_neardup, _text_neardup_duck()),
     "embedding_neardup": (_NEARDUP_SPARK, _NEARDUP_DUCK),
     "cell_join_salted": (_salted_join_spark, _SALTED_JOIN_ORACLE),
     "simhash_neardup": (
@@ -4618,6 +4649,135 @@ FROM dims d LEFT JOIN exact e ON e.v = d.v
 """
 
 _EXTENDED["multimodal_video_stats"] = (_video_stats, _VIDEO_STATS_DUCK)
+
+
+# --- perceptual-hash image near-dup (integer-DCT pHash + banded LSH) -------
+# The image-side twin of simhash_neardup: 48 real 16-bit-gray PNGs (24
+# base/perturbed pairs — the odd image bumps ONE pixel of its even twin by
+# 6..30), decoded distributed, hashed with the INTEGER 8x8 DCT-II
+# approximation (kernels/phash.py — every coefficient, the 32nd-smallest
+# median, and every hash bit are exact int64, so DuckDB re-derives the
+# hash bit-for-bit), then paired by 8x8-bit band LSH (complete for
+# Hamming <= 7 by pigeonhole; one keyed shuffle, no all-pairs). The bump
+# magnitudes straddle the threshold on purpose: 14 of the 24 true pairs
+# land at <= 7 plus one accidental cross-base collision, so the Hamming
+# filter provably rejects AND accepts on this corpus.
+
+def _phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode -> integer-DCT pHash -> banded-LSH pair join
+    (operators/multimodal.image_phash + phash_neardup_pairs) on an
+    analytic corpus DuckDB re-derives from first principles."""
+    import pandas as pd
+
+    from lidartree_spark.operators.multimodal import (image_phash,
+                                                      phash_neardup_pairs)
+
+    def gen(batches):
+        import numpy as np
+
+        from lidartree_spark.codecs import encode_png_gray16
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                j = i - (i % 2)
+                x = np.arange(8)[None, :]
+                y = np.arange(8)[:, None]
+                p = (200 + ((j * 53 + x * 17) % 29)
+                     * ((y * 13 + j * 7) % 23)).astype(np.int64)
+                if i % 2 == 1:
+                    p[(i * 5) % 8, (i * 3) % 8] += 6 + (i % 7) * 4
+                out.append({"media_id": f"{i:02d}",
+                            "bytes": encode_png_gray16(p / 256.0),
+                            "fmt": "png", "width": 8, "height": 8})
+            yield pd.DataFrame(out, columns=["media_id", "bytes", "fmt",
+                                             "width", "height"])
+
+    media = spark.range(48).repartition(8).mapInPandas(
+        gen, schema=("media_id string, bytes binary, fmt string, "
+                     "width int, height int"))
+    hashes = image_phash(media)
+    pairs = phash_neardup_pairs(hashes, max_hamming=7)
+    hrows = hashes.select(
+        F.lit("hash").alias("section"),
+        F.col("media_id").cast("long").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.col("phash").alias("val"))
+    prows = pairs.select(
+        F.lit("pair").alias("section"),
+        F.col("media_a").cast("long").alias("a"),
+        F.col("media_b").cast("long").alias("b"),
+        F.col("hamming").alias("val"))
+    return hrows.unionByName(prows)
+
+
+_PHASH_ND_DUCK = """
+WITH px AS (
+  SELECT i, x, y,
+         200 + (((i - (i % 2)) * 53 + x * 17) % 29)
+             * ((y * 13 + (i - (i % 2)) * 7) % 23)
+         + CASE WHEN i % 2 = 1 AND x = (i * 3) % 8 AND y = (i * 5) % 8
+                THEN 6 + (i % 7) * 4 ELSE 0 END AS p
+  FROM UNNEST(generate_series(0, 47)) g(i),
+       UNNEST(generate_series(0, 7)) xx(x),
+       UNNEST(generate_series(0, 7)) yy(y)
+), tmat(u, x, t) AS (VALUES
+  (0, 0, 64), (0, 1, 64), (0, 2, 64), (0, 3, 64), (0, 4, 64), (0, 5, 64), (0, 6, 64), (0, 7, 64),
+  (1, 0, 63), (1, 1, 53), (1, 2, 36), (1, 3, 12), (1, 4, -12), (1, 5, -36), (1, 6, -53), (1, 7, -63),
+  (2, 0, 59), (2, 1, 24), (2, 2, -24), (2, 3, -59), (2, 4, -59), (2, 5, -24), (2, 6, 24), (2, 7, 59),
+  (3, 0, 53), (3, 1, -12), (3, 2, -63), (3, 3, -36), (3, 4, 36), (3, 5, 63), (3, 6, 12), (3, 7, -53),
+  (4, 0, 45), (4, 1, -45), (4, 2, -45), (4, 3, 45), (4, 4, 45), (4, 5, -45), (4, 6, -45), (4, 7, 45),
+  (5, 0, 36), (5, 1, -63), (5, 2, 12), (5, 3, 53), (5, 4, -53), (5, 5, -12), (5, 6, 63), (5, 7, -36),
+  (6, 0, 24), (6, 1, -59), (6, 2, 59), (6, 3, -24), (6, 4, -24), (6, 5, 59), (6, 6, -59), (6, 7, 24),
+  (7, 0, 12), (7, 1, -36), (7, 2, 53), (7, 3, -63), (7, 4, 63), (7, 5, -53), (7, 6, 36), (7, 7, -12)
+), coeff AS (
+  -- C[u][v] = sum_y sum_x T[u][y] * P[y][x] * T[v][x]
+  SELECT px.i, tu.u AS u, tv.u AS v,
+         CAST(SUM(tu.t * tv.t * px.p) AS BIGINT) AS c
+  FROM px
+  JOIN tmat tu ON tu.x = px.y
+  JOIN tmat tv ON tv.x = px.x
+  GROUP BY px.i, tu.u, tv.u
+), ac AS (
+  SELECT i, u * 8 + v - 1 AS idx, c,
+         ROW_NUMBER() OVER (PARTITION BY i ORDER BY c) AS rn
+  FROM coeff WHERE NOT (u = 0 AND v = 0)
+), med AS (
+  SELECT i, c AS m FROM ac WHERE rn = 32
+), hash AS (
+  SELECT ac.i,
+         CAST(SUM(CASE WHEN ac.c > med.m
+                       THEN CAST(1 AS BIGINT) << CAST(ac.idx AS INTEGER)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS h
+  FROM ac JOIN med ON ac.i = med.i
+  GROUP BY ac.i
+), bands AS (
+  SELECT i, h, b, (h >> (8 * b)) & 255 AS band_val
+  FROM hash, UNNEST(generate_series(0, 7)) bb(b)
+), cand AS (
+  SELECT DISTINCT l.i AS ia, r.i AS ib, l.h AS ha, r.h AS hb
+  FROM bands l JOIN bands r
+    ON l.b = r.b AND l.band_val = r.band_val AND l.i < r.i
+)
+SELECT 'hash' AS section, CAST(i AS BIGINT) AS a,
+       CAST(-1 AS BIGINT) AS b, h AS val
+FROM hash
+UNION ALL
+SELECT 'pair' AS section, CAST(ia AS BIGINT) AS a, CAST(ib AS BIGINT) AS b,
+       CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS BIGINT) AS val
+FROM cand
+WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 7
+"""
+
+# promoted to the driver set by the round-3b repack (slot freed by merging
+# minhash_lsh + ngram_jaccard into text_neardup); the standalone text
+# pair-finders stay verified in the extended set.
+_DIALECT["phash_neardup"] = (_phash_neardup, _PHASH_ND_DUCK)
+_EXTENDED["minhash_lsh"] = (_minhash_sql(_SHINGLES_SPARK, "spark"),
+                            _minhash_sql(_SHINGLES_DUCK, "duck")
+                            .replace("AS STRING", "AS VARCHAR"))
+_EXTENDED["ngram_jaccard"] = (_ngram_jaccard_salted,
+                              _jaccard_sql(_SHINGLES_DUCK))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
