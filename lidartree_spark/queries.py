@@ -262,6 +262,27 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
 FROM hs
 """
 
+# Driver-budget repack (round 3b): hist_detection + height_regression are
+# single-row gates over the SAME mutual-NN matching CTE — one section-tagged
+# row pins both, and the freed slot pins streaming_dedup. Standalone twins
+# stay verified in the extended set.
+def _matching_scores_sql(d: str) -> str:
+    return f"""
+WITH h AS ({_hist_detection_sql(d)}),
+r AS ({_height_regression_sql(d)})
+SELECT 'hist' AS section, 'true_detections' AS k,
+       CAST(true_detections AS DOUBLE) AS val FROM h
+UNION ALL SELECT 'hist', 'false_detections',
+       CAST(false_detections AS DOUBLE) FROM h
+UNION ALL SELECT 'hist', 'omissions', CAST(omissions AS DOUBLE) FROM h
+UNION ALL SELECT 'reg', 'n', CAST(n AS DOUBLE) FROM r
+UNION ALL SELECT 'reg', 'slope', slope FROM r
+UNION ALL SELECT 'reg', 'intercept', intercept FROM r
+UNION ALL SELECT 'reg', 'rmse', rmse FROM r
+UNION ALL SELECT 'reg', 'bias', bias FROM r
+"""
+
+
 # §2.6 point-in-polygon join — rectangles derived from nation; points from
 # customer; half-open [min, max) inclusion. GRID-BUCKETED: polygons expand
 # to the 32-unit cells their bbox covers (lateral sequence), points carry
@@ -1712,10 +1733,8 @@ _SHARED = {
 _DIALECT = {
     # name: (spark_sql_or_fn, duck_sql)
     # grid-bucketed spatial joins: same skeleton, lateral-sequence dialect
-    "hist_detection": (_hist_detection_sql("spark"),
-                       _hist_detection_sql("duck")),
-    "height_regression": (_height_regression_sql("spark"),
-                          _height_regression_sql("duck")),
+    "matching_scores": (_matching_scores_sql("spark"),
+                        _matching_scores_sql("duck")),
     "pip_join": (_pip_join_sql("spark"), _pip_join_sql("duck")),
     "tile_prune_roi": (_tile_prune_sql("spark"), _tile_prune_sql("duck")),
     "raster_xy_mask": (_xy_mask_sql("spark"), _xy_mask_sql("duck")),
@@ -4278,6 +4297,63 @@ SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_trees,
 FROM sp GROUP BY image_id
 """
 
+def _stage_events_overlap(spark: SparkSession, sf_dir: str,
+                          n_files: int = 3, overlap: int = 50) -> str:
+    """Stage events as n_files parquet files where each file ALSO carries
+    the first `overlap` rows of the next chunk (file n-1 wraps to chunk
+    0's head) — real duplicate rows that arrive in DIFFERENT micro-batches
+    when streamed with maxFilesPerTrigger=1."""
+    import tempfile
+
+    import pandas as pd
+    d = tempfile.mkdtemp(prefix="lidartree_stream_dup_")
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    step = (len(pdf) + n_files - 1) // n_files
+    chunks = [pdf.iloc[i * step:(i + 1) * step] for i in range(n_files)]
+    for i, ch in enumerate(chunks):
+        dup = chunks[(i + 1) % n_files].head(overlap)
+        pd.concat([ch, dup]).to_parquet(f"{d}/part-{i}.parquet",
+                                        index=False)
+    return d
+
+
+def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup (streaming/ops.dedup_stream): three
+    micro-batches whose files OVERLAP (150 duplicate rows, each arriving
+    one-or-two batches after its original), so only dedup state that
+    carries across batch boundaries reproduces the batch answer. n ==
+    n_ids per group proves no duplicate survived; matching the oracle's
+    full-table counts proves nothing was over-dropped."""
+    import uuid
+
+    from lidartree_spark.streaming.ops import dedup_stream, stream_events
+    src = _stage_events_overlap(spark, sf_dir)
+    name = "dd_" + uuid.uuid4().hex[:12]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (dedup_stream(stream_events(spark, src,
+                                        max_files_per_trigger=1))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.countDistinct("event_id").cast("long").alias("n_ids"),
+                 F.round(F.sum("value"), 6).alias("sum_value")))
+
+
+_STREAM_DEDUP_DUCK = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+_DIALECT["streaming_dedup"] = (_streaming_dedup, _STREAM_DEDUP_DUCK)
 _DIALECT["streaming_windowed_events"] = (_streaming_windowed,
                                          _STREAM_WINDOWED_DUCK)
 _DIALECT["streaming_running_totals"] = (_streaming_totals,
@@ -4778,6 +4854,11 @@ _EXTENDED["minhash_lsh"] = (_minhash_sql(_SHINGLES_SPARK, "spark"),
                             .replace("AS STRING", "AS VARCHAR"))
 _EXTENDED["ngram_jaccard"] = (_ngram_jaccard_salted,
                               _jaccard_sql(_SHINGLES_DUCK))
+# demoted by the matching_scores merge (slot now pins streaming_dedup)
+_EXTENDED["hist_detection"] = (_hist_detection_sql("spark"),
+                               _hist_detection_sql("duck"))
+_EXTENDED["height_regression"] = (_height_regression_sql("spark"),
+                                  _height_regression_sql("duck"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -75,6 +75,22 @@ def windowed_event_stats(events: DataFrame, window: str = "6 hours",
                     "event_type", "n", "sum_value"))
 
 
+def dedup_stream(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
+                 watermark: str | None = None) -> DataFrame:
+    """Streaming exactly-once deduplication: the seen-key set is STATE that
+    carries across micro-batches, so a duplicate arriving in a later batch
+    (a re-delivered Kafka record, a re-uploaded file) is dropped — which
+    no batch-local distinct can do. With watermark=None the state is
+    unbounded (exact; right for bounded backfills). For continuous
+    pipelines pass a watermark: dropDuplicatesWithinWatermark bounds state
+    to the late-data horizon, the only shape that survives an infinite
+    stream. Driver gate: queries.streaming_dedup."""
+    if watermark is not None:
+        return (events.withWatermark("ts", watermark)
+                .dropDuplicatesWithinWatermark(list(keys)))
+    return events.dropDuplicates(list(keys))
+
+
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user running
     event count + value total carried in state ACROSS micro-batches — the

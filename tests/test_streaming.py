@@ -98,3 +98,47 @@ def test_streaming_checkpoint_layout(spark, tmp_path):
     stream_detect_to_parquet(stream_tiles(spark, str(src)), sink, ckpt)
     assert glob.glob(f"{ckpt}/sources/0/*")
     assert glob.glob(f"{ckpt}/commits/*")
+
+
+def test_dedup_stream_drops_cross_batch_duplicates(spark, tmp_path):
+    """Duplicates arriving in LATER micro-batches must be dropped by dedup
+    state; a batch-local distinct per micro-batch would keep them."""
+    from lidartree_spark.streaming.ops import dedup_stream
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet").head(300)
+    d = tmp_path / "dup_src"
+    d.mkdir()
+    # file 0: rows 0-99; file 1: rows 100-199 PLUS rows 0-49 again;
+    # file 2: rows 200-299 PLUS rows 0-49 a second time
+    pdf.iloc[0:100].to_parquet(d / "part-0.parquet", index=False)
+    pd.concat([pdf.iloc[100:200], pdf.iloc[0:50]]).to_parquet(
+        d / "part-1.parquet", index=False)
+    pd.concat([pdf.iloc[200:300], pdf.iloc[0:50]]).to_parquet(
+        d / "part-2.parquet", index=False)
+
+    q = (dedup_stream(stream_events(spark, str(d), max_files_per_trigger=1))
+         .writeStream.format("memory").queryName("dedup_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.table("dedup_t").select("event_id").collect()
+    ids = [r.event_id for r in got]
+    assert len(ids) == 300 and len(set(ids)) == 300
+    assert sorted(ids) == sorted(pdf["event_id"].tolist())
+
+
+def test_dedup_stream_within_watermark_variant(spark, tmp_path):
+    """The bounded-state variant: duplicates inside the watermark horizon
+    are dropped; the op must produce no MORE rows than the exact variant."""
+    from lidartree_spark.streaming.ops import dedup_stream
+
+    pdf = pd.read_parquet(f"{SF}/events.parquet").head(100)
+    d = tmp_path / "wm_src"
+    d.mkdir()
+    pd.concat([pdf, pdf]).to_parquet(d / "part-0.parquet", index=False)
+
+    q = (dedup_stream(stream_events(spark, str(d)), watermark="365 days")
+         .writeStream.format("memory").queryName("dedup_wm")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    ids = [r.event_id for r in spark.table("dedup_wm").collect()]
+    assert len(ids) == 100 and len(set(ids)) == 100
