@@ -358,3 +358,74 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 7,
                         .cast("long"))
             .where(F.col("hamming") <= max_hamming)
             .select("media_a", "media_b", "hamming"))
+
+
+AUGMENT_OPS = ("identity", "flip_h", "flip_v", "rot90", "rot180", "rot270",
+               "crop_center", "brighten")
+
+
+def augment_images(media: DataFrame, ops: tuple[str, ...] = AUGMENT_OPS,
+                   crop_frac: float = 0.5,
+                   brighten_by: float = 16.0) -> DataFrame:
+    """Training-data image augmentation: decode -> one output image per
+    (input, op) -> re-encode as 16-bit-gray PNG bytes.
+
+    Ops are exact index/value transforms (no resampling), so every output
+    pixel is a relabeling of an input pixel — a DuckDB oracle re-derives
+    them by transforming indices (driver-verified via the extended
+    image_augment_stats gate):
+      flip_h   out[y, x] = in[y, w-1-x]
+      flip_v   out[y, x] = in[h-1-y, x]
+      rot90    out[y, x] = in[x, w-1-y]      (90° counterclockwise,
+               np.rot90 convention: out shape (w, h))
+      rot180   out[y, x] = in[h-1-y, w-1-x]
+      rot270   out[y, x] = in[h-1-x, y]      (out shape (w, h))
+      crop_center  the centered floor(h*f) x floor(w*f) window
+      brighten     in + brighten_by, clamped to the png16 domain
+    One mapInPandas pass; the fan-out is inside the UDF (k outputs per
+    input row), so the stage stays shuffle-free and embarrassingly
+    parallel — at 100 TB the augmentation multiplies bytes, not shuffles.
+    """
+    from lidartree_spark.codecs import encode_png_gray16
+
+    schema = ("media_id string, op string, height int, width int, "
+              "bytes binary")
+
+    def transform(g: np.ndarray, op: str) -> np.ndarray:
+        if op == "identity":
+            return g
+        if op == "flip_h":
+            return g[:, ::-1]
+        if op == "flip_v":
+            return g[::-1, :]
+        if op == "rot90":
+            return np.rot90(g, 1)
+        if op == "rot180":
+            return np.rot90(g, 2)
+        if op == "rot270":
+            return np.rot90(g, 3)
+        if op == "crop_center":
+            h, w = g.shape
+            ch, cw = max(int(h * crop_frac), 1), max(int(w * crop_frac), 1)
+            y0, x0 = (h - ch) // 2, (w - cw) // 2
+            return g[y0:y0 + ch, x0:x0 + cw]
+        if op == "brighten":
+            return np.clip(g + brighten_by, 0.0, 0xFFFE / 256.0)
+        raise ValueError(f"unknown augmentation op {op!r}")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                g = decode_image_array(rec)[..., 0].astype(np.float64)
+                for op in ops:
+                    aug = transform(g, op)
+                    out.append({"media_id": rec.media_id, "op": op,
+                                "height": int(aug.shape[0]),
+                                "width": int(aug.shape[1]),
+                                "bytes": encode_png_gray16(aug)})
+            yield pd.DataFrame(out, columns=["media_id", "op", "height",
+                                             "width", "bytes"])
+
+    cols = ["media_id", "bytes", "fmt", "width", "height"]
+    return media.select(*cols).mapInPandas(run, schema=schema)

@@ -4854,6 +4854,118 @@ _EXTENDED["minhash_lsh"] = (_minhash_sql(_SHINGLES_SPARK, "spark"),
                             .replace("AS STRING", "AS VARCHAR"))
 _EXTENDED["ngram_jaccard"] = (_ngram_jaccard_salted,
                               _jaccard_sql(_SHINGLES_DUCK))
+# --- image augmentation gate (extended set; the 50-row budget is full) -----
+# Training-data augmentation as exact index/value transforms: 12 analytic
+# NON-SQUARE PNGs (orientation-pinning) run through all eight ops of
+# operators/multimodal.augment_images, the augmented PNG BYTES are decoded
+# back, and per-(image, op) stats — dims, pixel sum, both corners — are
+# compared against a DuckDB oracle that re-derives each op as a coordinate
+# bijection of the source lattice. Corners distinguish every rotation and
+# flip from each other; sums pin value transforms (brighten = +16 in
+# decoded units = +4096 on the png16 integer grid).
+
+def _image_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """augment_images (decode -> 8 exact augmentations -> re-encode PNG)
+    with the OUTPUT bytes decoded again for stats — the gate pins both the
+    transforms and the png16 round-trip of every augmented image."""
+    import pandas as pd
+
+    from lidartree_spark.operators.multimodal import augment_images
+
+    def gen(batches):
+        import numpy as np
+
+        from lidartree_spark.codecs import encode_png_gray16
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                w = 6 + (i % 3) * 2
+                h = 5 + (i % 2) * 4
+                x = np.arange(w)[None, :]
+                y = np.arange(h)[:, None]
+                p = ((i * 31 + x * 17 + y * 29) % 211).astype(np.int64)
+                out.append({"media_id": f"{i:02d}",
+                            "bytes": encode_png_gray16(p / 256.0),
+                            "fmt": "png", "width": w, "height": h})
+            yield pd.DataFrame(out, columns=["media_id", "bytes", "fmt",
+                                             "width", "height"])
+
+    media = spark.range(12).repartition(4).mapInPandas(
+        gen, schema=("media_id string, bytes binary, fmt string, "
+                     "width int, height int"))
+    aug = augment_images(media)
+
+    def stats(batches):
+        import numpy as np
+
+        from lidartree_spark.codecs import decode_png_gray16
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                g = np.round(decode_png_gray16(rec.bytes).astype(np.float64)
+                             * 256.0).astype(np.int64)
+                out.append({"img": int(rec.media_id), "op": rec.op,
+                            "oh": g.shape[0], "ow": g.shape[1],
+                            "sum_px": int(g.sum()),
+                            "px00": int(g[0, 0]),
+                            "px_last": int(g[-1, -1])})
+            yield pd.DataFrame(out, columns=["img", "op", "oh", "ow",
+                                             "sum_px", "px00", "px_last"])
+
+    return aug.mapInPandas(
+        stats, schema=("img bigint, op string, oh bigint, ow bigint, "
+                       "sum_px bigint, px00 bigint, px_last bigint"))
+
+
+_IMAGE_AUGMENT_DUCK = """
+WITH dims AS (
+  SELECT i, 6 + (i % 3) * 2 AS w, 5 + (i % 2) * 4 AS h
+  FROM UNNEST(generate_series(0, 11)) g(i)
+), src AS (
+  SELECT d.i, d.h, d.w, x, y,
+         (d.i * 31 + x * 17 + y * 29) % 211 AS p
+  FROM dims d,
+       UNNEST(generate_series(0, 9)) xx(x),
+       UNNEST(generate_series(0, 8)) yy(y)
+  WHERE x < d.w AND y < d.h
+), outpx AS (
+  -- each op as a source->output coordinate bijection (+ value map)
+  SELECT i, 'identity' AS op, h AS oh, w AS ow, y AS oy, x AS ox, p
+  FROM src
+  UNION ALL
+  SELECT i, 'flip_h', h, w, y, w - 1 - x, p FROM src
+  UNION ALL
+  SELECT i, 'flip_v', h, w, h - 1 - y, x, p FROM src
+  UNION ALL
+  SELECT i, 'rot90', w, h, w - 1 - x, y, p FROM src
+  UNION ALL
+  SELECT i, 'rot180', h, w, h - 1 - y, w - 1 - x, p FROM src
+  UNION ALL
+  SELECT i, 'rot270', w, h, x, h - 1 - y, p FROM src
+  UNION ALL
+  SELECT i, 'crop_center', h // 2, w // 2,
+         y - (h - h // 2) // 2, x - (w - w // 2) // 2, p
+  FROM src
+  WHERE y >= (h - h // 2) // 2 AND y < (h - h // 2) // 2 + h // 2
+    AND x >= (w - w // 2) // 2 AND x < (w - w // 2) // 2 + w // 2
+  UNION ALL
+  SELECT i, 'brighten', h, w, y, x, p + 4096 FROM src
+)
+SELECT CAST(i AS BIGINT) AS img, op,
+       CAST(oh AS BIGINT) AS oh, CAST(ow AS BIGINT) AS ow,
+       CAST(SUM(p) AS BIGINT) AS sum_px,
+       CAST(MAX(CASE WHEN oy = 0 AND ox = 0 THEN p END) AS BIGINT)
+           AS px00,
+       CAST(MAX(CASE WHEN oy = oh - 1 AND ox = ow - 1 THEN p END)
+            AS BIGINT) AS px_last
+FROM outpx
+GROUP BY i, op, oh, ow
+"""
+
+_EXTENDED["image_augment_stats"] = (_image_augment_stats,
+                                    _IMAGE_AUGMENT_DUCK)
+
 # demoted by the matching_scores merge (slot now pins streaming_dedup)
 _EXTENDED["hist_detection"] = (_hist_detection_sql("spark"),
                                _hist_detection_sql("duck"))
