@@ -255,3 +255,205 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     return (scored.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= k)
             .select("qid", id_col, "rk", "cosine"))
+
+
+def _md5_init_rows(df: DataFrame, n: int, id_col: str, vec_col: str,
+                   seed: int) -> np.ndarray:
+    """Deterministic seeded row sample: the n rows with the smallest
+    md5-derived hash of their id (same init rule as train_centroids;
+    re-derivable in SQL as ORDER BY md5(seed || '|' || id))."""
+    init = (df
+            .withColumn("_h", F.md5(F.concat_ws("|", F.lit(seed),
+                                                 F.col(id_col)
+                                                 .cast("string"))))
+            .orderBy("_h")
+            .limit(n)
+            .select(vec_col)
+            .collect())
+    return np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
+
+
+def train_pq_codebook(embeddings: DataFrame, m: int = 4, ksub: int = 8,
+                      iters: int = 2, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      seed: int = 151) -> np.ndarray:
+    """Product-quantization codebook (Jegou/Douze/Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): the D dims
+    split into m subspaces of D/m, one ksub-centroid k-means PER subspace.
+    Returns (m, ksub, D/m).
+
+    All m subspace k-means run in the SAME distributed pass per Lloyd
+    iteration (per Arrow batch: m small matmuls -> per-(subspace, cid)
+    partial sums; partials combined on the driver — the map-side-combine
+    shape train_centroids uses). iters=0 keeps the md5-init rows verbatim,
+    which is what makes the ann_pq DuckDB gate able to re-derive the
+    codebook."""
+    base = embeddings.select(id_col, vec_col)
+    rows = _md5_init_rows(base, ksub, id_col, vec_col, seed)
+    d = rows.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    book = rows.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+
+    partial_schema = "sub int, cid int, n long, sums array<double>"
+    for _ in range(iters):
+        bk = book  # captured by value
+
+        def partials(batches):
+            acc_n = np.zeros((m, ksub), dtype=np.int64)
+            acc_s = np.zeros_like(bk)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                sub = vecs.reshape(len(vecs), m, dsub)
+                for s in range(m):
+                    d2 = ((sub[:, s, None, :] - bk[s][None, :, :]) ** 2) \
+                        .sum(2)
+                    a = d2.argmin(1)  # first occurrence == lowest cid
+                    np.add.at(acc_n[s], a, 1)
+                    np.add.at(acc_s[s], a, sub[:, s, :])
+            out = []
+            for s in range(m):
+                for j in np.nonzero(acc_n[s])[0]:
+                    out.append({"sub": s, "cid": int(j),
+                                "n": int(acc_n[s][j]),
+                                "sums": acc_s[s][j].tolist()})
+            yield pd.DataFrame(out, columns=["sub", "cid", "n", "sums"])
+
+        got = (base.select(vec_col)
+               .mapInPandas(partials, schema=partial_schema).collect())
+        tot_n = np.zeros((m, ksub), dtype=np.int64)
+        tot_s = np.zeros_like(book)
+        for r in got:
+            tot_n[r.sub, r.cid] += r.n
+            tot_s[r.sub, r.cid] += np.asarray(r.sums)
+        new = book.copy()
+        nz = tot_n > 0
+        new[nz] = tot_s[nz] / tot_n[nz][:, None]
+        book = new
+    return book
+
+
+def pq_encode(embeddings: DataFrame, codebook: np.ndarray,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              coarse: np.ndarray | None = None) -> DataFrame:
+    """vector -> m-byte PQ code (nearest sub-centroid per subspace, exact
+    d2 ties to the lowest code). With `coarse` given, codes quantize the
+    RESIDUAL vector - nearest-coarse-centroid (classic IVF-PQ). The code
+    column is the 100 TB artifact: m small ints per vector instead of D
+    floats (64-dim f32 -> 4 bytes here; 768-dim -> 16-48 bytes in
+    production), so the rerank scan reads ~100x fewer bytes."""
+    m, ksub, dsub = codebook.shape
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if coarse is not None:
+                d2c = ((vecs[:, None, :] - coarse[None, :, :]) ** 2).sum(2)
+                vecs = vecs - coarse[d2c.argmin(1)]
+            sub = vecs.reshape(len(vecs), m, dsub)
+            codes = np.empty((len(vecs), m), dtype=np.int32)
+            for s in range(m):
+                d2 = ((sub[:, s, None, :] - codebook[s][None, :, :]) ** 2) \
+                    .sum(2)
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "code": codes.tolist()})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema=f"{id_col} long, code array<int>")
+
+
+def _pq_luts(queries: DataFrame, codebook: np.ndarray, id_col: str,
+             vec_col: str) -> DataFrame:
+    """qid -> per-subspace distance lookup table: luts[s][j] =
+    ||q_sub_s - codebook[s][j]||^2 (the ADC table; Jegou 2011 eq. 13)."""
+    m, ksub, dsub = codebook.shape
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sub = vecs.reshape(len(vecs), m, dsub)
+            luts = ((sub[:, :, None, :] - codebook[None, :, :, :]) ** 2) \
+                .sum(3)  # (n, m, ksub)
+            yield pd.DataFrame({"qid": pdf[id_col].to_numpy(),
+                                "luts": [r.tolist() for r in luts]})
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        run, schema="qid long, luts array<array<double>>")
+
+
+def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+            m: int = 4, ksub: int = 8, iters: int = 2,
+            codebook: np.ndarray | None = None,
+            coarse_centroids: np.ndarray | None = None, nprobe: int = 4,
+            refine: int | None = None, id_col: str = "vec_id",
+            vec_col: str = "embedding", seed: int = 151) -> DataFrame:
+    """IVF-PQ approximate nearest neighbors — the FAISS-style 100 TB plan:
+
+    1. coarse stage (optional): base vectors live in their nearest coarse
+       cell; queries probe nprobe cells — the candidate join is a cell
+       equi-join that prunes (1 - nprobe/C) of the corpus BEFORE any
+       vector bytes are read (cell id doubles as the partition key);
+    2. ADC scoring: approx_d2 = sum_s luts[qid][s][code[vec][s]] — a
+       JVM-side zip_with/element_at aggregate over the m-byte codes (the
+       full vectors are never touched);
+    3. refine (optional): the top k*refine by ADC re-scored with exact
+       full-vector L2, then the final top-k — the standard two-stage
+       recall recovery.
+
+    Without coarse_centroids the candidate set is all base rows via a
+    broadcast of the (small) query side — the exact-scan anchor shape,
+    same as brute_force_topk. Returns (qid, vec_id, rk, adc)."""
+    if codebook is None:
+        codebook = train_pq_codebook(embeddings, m, ksub, iters,
+                                     id_col, vec_col, seed)
+    codes = pq_encode(embeddings, codebook, id_col, vec_col)
+    luts = _pq_luts(queries, codebook, id_col, vec_col)
+
+    if coarse_centroids is not None:
+        base_cells = _assign_cells(embeddings, coarse_centroids, 1,
+                                   id_col, vec_col, "vec_id")
+        query_cells = _assign_cells(queries, coarse_centroids, nprobe,
+                                    id_col, vec_col, "qid")
+        cand = (base_cells.join(F.broadcast(query_cells), "cid")
+                .where(F.col("qid") != F.col("vec_id"))
+                .select("qid", "vec_id").distinct())
+        scored = cand.join(codes.withColumnRenamed(id_col, "vec_id"),
+                           "vec_id").select("qid", "vec_id", "code")
+    else:
+        scored = (codes.withColumnRenamed(id_col, "vec_id")
+                  .join(F.broadcast(luts.select("qid")),
+                        F.col("qid") != F.col("vec_id")))
+    adc = F.aggregate(
+        F.zip_with("code", "luts",
+                   lambda c, l: F.element_at(l, c + F.lit(1))),
+        F.lit(0.0), lambda a, x: a + x)
+    scored = scored.join(F.broadcast(luts), "qid").withColumn("adc", adc)
+    w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    if refine is None:
+        return (ranked.where(F.col("rk") <= k)
+                .select("qid", "vec_id", "rk", "adc"))
+
+    shortlist = ranked.where(F.col("rk") <= k * refine) \
+        .select("qid", "vec_id", "adc")
+    q = queries.select(F.col(id_col).alias("qid"),
+                       F.col(vec_col).alias("qv"))
+    b = embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("bv"))
+    d2 = F.aggregate(F.zip_with("qv", "bv",
+                                lambda x, y: (x - y) * (x - y)),
+                     F.lit(0.0), lambda a, v: a + v)
+    exact = (shortlist.join(b, "vec_id").join(F.broadcast(q), "qid")
+             .withColumn("d2", d2))
+    w2 = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("vec_id"))
+    return (exact.withColumn("rk", F.row_number().over(w2))
+            .where(F.col("rk") <= k)
+            .select("qid", "vec_id", "rk", "adc", "d2"))

@@ -4854,6 +4854,108 @@ _EXTENDED["minhash_lsh"] = (_minhash_sql(_SHINGLES_SPARK, "spark"),
                             .replace("AS STRING", "AS VARCHAR"))
 _EXTENDED["ngram_jaccard"] = (_ngram_jaccard_salted,
                               _jaccard_sql(_SHINGLES_DUCK))
+# --- IVF-PQ ANN gate (extended set; the 50-row budget is full) -------------
+# The FAISS-style third ANN path beside ann_lsh/ann_ivf: coarse cells
+# prune the corpus, then ADC scores m-byte PQ codes without touching the
+# full vectors. Both codebooks are the operators' own deterministic
+# md5-ordered inits (iters=0) over integer-quantized vectors, so DuckDB
+# re-derives coarse assignment, every per-(vector, subspace, codeword)
+# distance (the same table serves as PQ code argmin AND query LUT), the
+# ADC sums, and the top-5 — all integer-exact.
+
+def _ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL pq_topk operator (operators/similarity): coarse-cell
+    equi-join pruning (nprobe=4 of 16 cells) + JVM-side ADC aggregate
+    over array<int> codes + window top-k. Lloyd training and the refine
+    stage are pinned by pytest (tests/test_pq.py); this gate pins the
+    search path."""
+    from lidartree_spark.operators.similarity import (
+        pq_topk,
+        train_centroids,
+        train_pq_codebook,
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(ROUND(x * 10000, 0) AS BIGINT))"
+        " AS embedding")
+    book = train_pq_codebook(emb, m=4, ksub=8, iters=0, seed=151)
+    cen = train_centroids(emb, n_centroids=16, iters=0, seed=131)
+    out = pq_topk(emb, emb.where("vec_id < 8"), k=5, codebook=book,
+                  coarse_centroids=cen, nprobe=4)
+    return out.select("qid", "vec_id",
+                      F.col("rk").cast("long").alias("rk"),
+                      F.round("adc", 6).alias("adc"))
+
+
+_ANN_PQ_DUCK = """
+WITH corpus AS (
+  SELECT vec_id AS id,
+         list_transform(range(1, 65),
+                        i -> CAST(ROUND(embedding[i] * 10000) AS BIGINT)) AS v
+  FROM embeddings
+), cen AS (
+  SELECT v AS cv, cid FROM (
+    SELECT v, ROW_NUMBER() OVER (
+             ORDER BY md5('131|' || CAST(id AS VARCHAR))) - 1 AS cid
+    FROM corpus) t
+  WHERE cid < 16
+), pqc AS (
+  SELECT v AS pv, j FROM (
+    SELECT v, ROW_NUMBER() OVER (
+             ORDER BY md5('151|' || CAST(id AS VARCHAR))) - 1 AS j
+    FROM corpus) t
+  WHERE j < 8
+), cd2 AS (
+  SELECT c.id, n.cid,
+         list_sum(list_transform(range(1, 65),
+                  i -> (c.v[i] - n.cv[i]) * (c.v[i] - n.cv[i]))) AS d2
+  FROM corpus c, cen n
+), cranked AS (
+  SELECT id, cid,
+         ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+  FROM cd2
+), base_cells AS (
+  SELECT id AS vec_id, cid FROM cranked WHERE rn = 1
+), query_cells AS (
+  SELECT id AS qid, cid FROM cranked WHERE rn <= 4 AND id < 8
+), subd2 AS (
+  -- per-(vector, subspace, codeword) squared distance: the argmin over j
+  -- gives the PQ code; the SAME rows for id < 8 are the query ADC LUTs
+  SELECT c.id, s, p.j,
+         list_sum(list_transform(range(1, 17),
+                  i -> (c.v[s * 16 + i] - p.pv[s * 16 + i])
+                     * (c.v[s * 16 + i] - p.pv[s * 16 + i]))) AS d2
+  FROM corpus c, range(0, 4) ss(s), pqc p
+), codes AS (
+  SELECT id, s, j AS code FROM (
+    SELECT id, s, j,
+           ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY d2, j) AS rn
+    FROM subd2) t
+  WHERE rn = 1
+), cand AS (
+  SELECT q.qid, b.vec_id
+  FROM query_cells q JOIN base_cells b ON b.cid = q.cid
+  WHERE b.vec_id != q.qid
+  GROUP BY q.qid, b.vec_id
+), adc AS (
+  SELECT cd.qid, cd.vec_id, SUM(l.d2) AS adc
+  FROM cand cd
+  JOIN codes k2 ON k2.id = cd.vec_id
+  JOIN subd2 l ON l.id = cd.qid AND l.s = k2.s AND l.j = k2.code
+  GROUP BY cd.qid, cd.vec_id
+)
+SELECT qid, vec_id, CAST(rk AS BIGINT) AS rk,
+       ROUND(CAST(adc AS DOUBLE), 6) AS adc
+FROM (SELECT qid, vec_id, adc,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY adc, vec_id) AS rk
+      FROM adc) t
+WHERE rk <= 5
+"""
+
+_EXTENDED["ann_pq"] = (_ann_pq, _ANN_PQ_DUCK)
+
+
 # --- image augmentation gate (extended set; the 50-row budget is full) -----
 # Training-data augmentation as exact index/value transforms: 12 analytic
 # NON-SQUARE PNGs (orientation-pinning) run through all eight ops of
