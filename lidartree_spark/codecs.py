@@ -257,6 +257,12 @@ def psnr(ref: np.ndarray, test: np.ndarray) -> float:
 def phash64(arr: np.ndarray) -> int:
     """64-bit perceptual hash: 8x8 block-mean image thresholded at its median.
 
+    This is the AVERAGE-hash variant used for the tiles table's `phash`
+    fingerprint column (cheap, codec-roundtrip-stable). The DCT-based
+    pHash used for near-duplicate SEARCH — with its banded-LSH pair join
+    and DuckDB-exact integer transform — lives in kernels/phash.py
+    (operators/multimodal.image_phash).
+
     Deterministic, pure numpy (no DCT libs needed). The input is first
     snapped to the 1/256 value grid — the precision every lossless codec
     here preserves — so phash(source) == phash(decode(encode(source))) holds

@@ -4854,6 +4854,79 @@ _EXTENDED["minhash_lsh"] = (_minhash_sql(_SHINGLES_SPARK, "spark"),
                             .replace("AS STRING", "AS VARCHAR"))
 _EXTENDED["ngram_jaccard"] = (_ngram_jaccard_salted,
                               _jaccard_sql(_SHINGLES_DUCK))
+# --- Gopher repetition-quality filter (extended set) -----------------------
+# The MassiveText repetition rules (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", table A1): drop a document when the characters in
+# its most common word 2-gram exceed 20% of the text, its most common
+# 3-gram 18%, or its duplicated 5-grams 15% (occurrence-weighted character
+# fractions). One grouped aggregation per n — no joins between documents,
+# so at 100 TB this is a pure map-side scan family. At sf0.01 the corpus
+# exercises both sides: 8 docs fail the 2-gram rule, 20 the 3-gram rule,
+# 475/500 keep.
+
+def _gopher_sql(d: str) -> str:
+    split = ("split(text, ' ')" if d == "spark"
+             else "string_split(text, ' ')")
+
+    def grams(n: int) -> str:
+        if d == "spark":
+            cat = ", ' ', ".join(f"element_at(l, i + {j})"
+                                 for j in range(n))
+            return f"""
+  SELECT doc_id, tc, g FROM (
+    SELECT doc_id, tc,
+           CASE WHEN size(l) >= {n} THEN
+             transform(sequence(1, size(l) - {n - 1}),
+                       i -> concat({cat}))
+           ELSE array() END AS gs
+    FROM words) w{n} LATERAL VIEW explode(gs) t{n} AS g
+"""
+        cat = " || ' ' || ".join(f"l[i + {j}]" for j in range(n))
+        return f"""
+  SELECT doc_id, tc, {cat} AS g
+  FROM words, UNNEST(generate_series(1, GREATEST(len(l) - {n - 1}, 0))) s(i)
+"""
+
+    def topfrac(n: int) -> str:
+        return f"""
+  SELECT doc_id, f FROM (
+    SELECT doc_id, CAST(c * LENGTH(g) AS DOUBLE) / tc AS f,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, g) AS rn
+    FROM c{n}) x{n} WHERE rn = 1
+"""
+
+    return f"""
+WITH words AS (
+  SELECT doc_id, {split} AS l, LENGTH(text) AS tc FROM documents
+), g2 AS ({grams(2)}),
+c2 AS (SELECT doc_id, tc, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, tc, g),
+t2 AS ({topfrac(2)}),
+g3 AS ({grams(3)}),
+c3 AS (SELECT doc_id, tc, g, COUNT(*) AS c FROM g3 GROUP BY doc_id, tc, g),
+t3 AS ({topfrac(3)}),
+g5 AS ({grams(5)}),
+c5 AS (SELECT doc_id, tc, g, COUNT(*) AS c FROM g5 GROUP BY doc_id, tc, g),
+d5 AS (
+  SELECT doc_id,
+         CAST(COALESCE(SUM(CASE WHEN c > 1 THEN c * LENGTH(g) END), 0)
+              AS DOUBLE) / MAX(tc) AS f
+  FROM c5 GROUP BY doc_id
+)
+SELECT t2.doc_id AS doc_id,
+       ROUND(t2.f, 6) AS top2_frac,
+       ROUND(t3.f, 6) AS top3_frac,
+       ROUND(d5.f, 6) AS dup5_frac,
+       (t2.f <= 0.20 AND t3.f <= 0.18 AND d5.f <= 0.15) AS keep
+FROM t2
+JOIN t3 ON t3.doc_id = t2.doc_id
+JOIN d5 ON d5.doc_id = t2.doc_id
+"""
+
+
+_EXTENDED["gopher_repetition"] = (_gopher_sql("spark"), _gopher_sql("duck"))
+
+
 # --- IVF-PQ ANN gate (extended set; the 50-row budget is full) -------------
 # The FAISS-style third ANN path beside ann_lsh/ann_ivf: coarse cells
 # prune the corpus, then ADC scores m-byte PQ codes without touching the
