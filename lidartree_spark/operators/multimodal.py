@@ -360,6 +360,42 @@ def phash_neardup_pairs(hashes: DataFrame, max_hamming: int = 7,
             .select("media_a", "media_b", "hamming"))
 
 
+def audio_frame_stats(media: DataFrame, frame: int = 256,
+                      hop: int = 128) -> DataFrame:
+    """decode -> per-frame INTEGER-domain stats: the PCM16 sample count and
+    the exact int64 sum of squares per window (rms = sqrt(sum_sq/n)/32767
+    — audio_frame_energy's float path, refactored into an oracle-able
+    integer core). PCM16 round-trips integers exactly (|s| <= 32767 is
+    well inside float32's 24-bit mantissa), so a DuckDB oracle re-derives
+    every value from the sample formula (extended gate
+    multimodal_audio_stats). Same UDTF shape as audio_frame_energy:
+    variable rows out per row in, zero shuffle."""
+    schema = "media_id string, frame_idx int, n int, sum_sq long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                if rec.fmt == "wav":
+                    samples, _ = decode_wav_pcm16(rec.bytes)
+                else:
+                    samples = np.frombuffer(rec.bytes, dtype=np.float32)
+                ints = np.round(samples.astype(np.float64)
+                                * 32767.0).astype(np.int64)
+                n = ((len(ints) - frame) // hop + 1
+                     if len(ints) >= frame else 0)
+                for i in range(n):
+                    seg = ints[i * hop:i * hop + frame]
+                    out.append({"media_id": rec.media_id, "frame_idx": i,
+                                "n": int(seg.size),
+                                "sum_sq": int((seg * seg).sum())})
+            yield pd.DataFrame(out, columns=["media_id", "frame_idx",
+                                             "n", "sum_sq"])
+
+    cols = ["media_id", "bytes", "fmt", "sample_rate", "n_frames"]
+    return media.select(*cols).mapInPandas(run, schema=schema)
+
+
 AUGMENT_OPS = ("identity", "flip_h", "flip_v", "rot90", "rot180", "rot270",
                "crop_center", "brighten")
 

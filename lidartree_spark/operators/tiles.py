@@ -118,7 +118,11 @@ def decode_check(tiles: DataFrame) -> DataFrame:
                 arr = decode_tile(rec.bytes, rec.fmt, rec.w, rec.h)
                 row = int(rec.image_id[1:5])
                 col = int(rec.image_id[6:10])
-                _, truth, _ = gen_tile(row, col, rec.w, rec.h)
+                _, truth, trees = gen_tile(row, col, rec.w, rec.h)
+                from lidartree_spark.generator import RES
+                want_cap = (f"canopy height tile {rec.image_id} with "
+                            f"{len(trees)} trees, max height "
+                            f"{np.nanmax(truth):.1f} m, res {RES} m")
                 m = np.isfinite(truth)
                 if rec.fmt in ("q8", "jpeg"):  # lossy: PSNR contract
                     ok_pix = bool(psnr(truth, arr) >= 40.0)
@@ -132,10 +136,15 @@ def decode_check(tiles: DataFrame) -> DataFrame:
                     "pixels_ok": ok_pix,
                     "phash_ok": bool(phash64(arr) == rec.phash
                                      or rec.fmt in ("q8", "jpeg")),
+                    # input_hint per-row invariant: caption VERBATIM, not
+                    # just length — re-derived from the generator's ground
+                    # truth, byte-compared
+                    "caption_ok": bool(rec.caption == want_cap),
                     "caption_len": len(rec.caption),
                 })
             yield pd.DataFrame(out)
 
     return tiles.mapInPandas(
         check, schema=("image_id string, fmt string, pixels_ok boolean, "
-                       "phash_ok boolean, caption_len int"))
+                       "phash_ok boolean, caption_ok boolean, "
+                       "caption_len int"))

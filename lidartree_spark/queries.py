@@ -4854,6 +4854,68 @@ _EXTENDED["minhash_lsh"] = (_minhash_sql(_SHINGLES_SPARK, "spark"),
                             .replace("AS STRING", "AS VARCHAR"))
 _EXTENDED["ngram_jaccard"] = (_ngram_jaccard_salted,
                               _jaccard_sql(_SHINGLES_DUCK))
+# --- multimodal AUDIO gate (extended set) ----------------------------------
+# Driver-grade evidence for the WAV decode path (previously pytest-only):
+# 8 real RIFF/PCM16 files whose samples follow an integer formula that
+# PCM16 round-trips exactly, decoded distributed and reduced to per-frame
+# integer sums of squares (operators/multimodal.audio_frame_stats). DuckDB
+# re-derives every frame from generate_series — count AND exact sum_sq.
+
+def _audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV encode -> decode -> windowed integer frame stats, one
+    mapInPandas pass; oracle _AUDIO_STATS_DUCK."""
+    import pandas as pd
+
+    from lidartree_spark.operators.multimodal import audio_frame_stats
+
+    def gen(batches):
+        import numpy as np
+
+        from lidartree_spark.operators.multimodal import encode_wav_pcm16
+        for pdf in batches:
+            out = []
+            for i in pdf["id"]:
+                i = int(i)
+                n = 600 + i * 50
+                k = np.arange(n, dtype=np.int64)
+                s = (i * 7919 + k * 104729) % 2001 - 1000
+                out.append({"media_id": f"{i:02d}",
+                            "bytes": encode_wav_pcm16(s / 32767.0, 16000),
+                            "fmt": "wav", "sample_rate": 16000,
+                            "n_frames": n})
+            yield pd.DataFrame(out, columns=["media_id", "bytes", "fmt",
+                                             "sample_rate", "n_frames"])
+
+    media = spark.range(8).repartition(4).mapInPandas(
+        gen, schema=("media_id string, bytes binary, fmt string, "
+                     "sample_rate int, n_frames int"))
+    out = audio_frame_stats(media, frame=256, hop=128)
+    return out.select(F.col("media_id").cast("long").alias("aid"),
+                      F.col("frame_idx").cast("long").alias("frame_idx"),
+                      F.col("n").cast("long").alias("n"), "sum_sq")
+
+
+_AUDIO_STATS_DUCK = """
+WITH dims AS (
+  SELECT i, 600 + i * 50 AS len,
+         (600 + i * 50 - 256) // 128 + 1 AS nf
+  FROM UNNEST(generate_series(0, 7)) g(i)
+), frames AS (
+  SELECT d.i, f FROM dims d, UNNEST(generate_series(0, 30)) ff(f)
+  WHERE f < d.nf
+), samples AS (
+  SELECT fr.i, fr.f,
+         (fr.i * 7919 + (fr.f * 128 + j) * 104729) % 2001 - 1000 AS s
+  FROM frames fr, UNNEST(generate_series(0, 255)) jj(j)
+)
+SELECT CAST(i AS BIGINT) AS aid, CAST(f AS BIGINT) AS frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(s * s) AS BIGINT) AS sum_sq
+FROM samples GROUP BY i, f
+"""
+
+_EXTENDED["multimodal_audio_stats"] = (_audio_stats, _AUDIO_STATS_DUCK)
+
+
 # --- Gopher repetition-quality filter (extended set) -----------------------
 # The MassiveText repetition rules (Rae et al. 2021, "Scaling Language
 # Models: ... Gopher", table A1): drop a document when the characters in
@@ -4865,26 +4927,45 @@ _EXTENDED["ngram_jaccard"] = (_ngram_jaccard_salted,
 # 475/500 keep.
 
 def _gopher_sql(d: str) -> str:
-    split = ("split(text, ' ')" if d == "spark"
-             else "string_split(text, ' ')")
-
-    def grams(n: int) -> str:
-        if d == "spark":
-            cat = ", ' ', ".join(f"element_at(l, i + {j})"
-                                 for j in range(n))
-            return f"""
-  SELECT doc_id, tc, g FROM (
-    SELECT doc_id, tc,
-           CASE WHEN size(l) >= {n} THEN
-             transform(sequence(1, size(l) - {n - 1}),
-                       i -> concat({cat}))
-           ELSE array() END AS gs
-    FROM words) w{n} LATERAL VIEW explode(gs) t{n} AS g
+    # Spark dialect builds every gram order from ONE posexplode + ONE
+    # LEAD window: a lambda-based transform(sequence(...), i ->
+    # element_at(l, i + j)) shape re-evaluates split(text) inside each
+    # lambda call (no common-subexpression elimination across lambda
+    # bodies), which measured 13 s for the 5-gram leg alone at sf0.1;
+    # the posexplode+LEAD plan does the whole gate in ~1 s.
+    if d == "spark":
+        words = """
+  SELECT doc_id, tc, w,
+         LEAD(w, 1) OVER win AS w1, LEAD(w, 2) OVER win AS w2,
+         LEAD(w, 4) OVER win AS w4,
+         concat(LEAD(w, 2) OVER win, ' ', LEAD(w, 3) OVER win) AS w23
+  FROM (
+    SELECT doc_id, LENGTH(text) AS tc, pos, w
+    FROM documents
+    LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w) x
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
 """
-        cat = " || ' ' || ".join(f"l[i + {j}]" for j in range(n))
-        return f"""
+        grams_sql = {
+            2: ("SELECT doc_id, tc, concat(w, ' ', w1) AS g FROM leads "
+                "WHERE w1 IS NOT NULL"),
+            3: ("SELECT doc_id, tc, concat(w, ' ', w1, ' ', w2) AS g "
+                "FROM leads WHERE w2 IS NOT NULL"),
+            5: ("SELECT doc_id, tc, concat(w, ' ', w1, ' ', w23, ' ', w4)"
+                " AS g FROM leads WHERE w4 IS NOT NULL"),
+        }
+
+        def grams(n: int) -> str:
+            return grams_sql[n]
+    else:
+        words = ("SELECT doc_id, string_split(text, ' ') AS l, "
+                 "LENGTH(text) AS tc FROM documents")
+
+        def grams(n: int) -> str:
+            cat = " || ' ' || ".join(f"l[i + {j}]" for j in range(n))
+            return f"""
   SELECT doc_id, tc, {cat} AS g
-  FROM words, UNNEST(generate_series(1, GREATEST(len(l) - {n - 1}, 0))) s(i)
+  FROM words,
+       UNNEST(generate_series(1, GREATEST(len(l) - {n - 1}, 0))) s(i)
 """
 
     def topfrac(n: int) -> str:
@@ -4896,10 +4977,10 @@ def _gopher_sql(d: str) -> str:
     FROM c{n}) x{n} WHERE rn = 1
 """
 
+    lead_cte = ("leads AS (" + words + "), " if d == "spark" else "")
+    base_cte = ("words AS (" + words + "), " if d != "spark" else "")
     return f"""
-WITH words AS (
-  SELECT doc_id, {split} AS l, LENGTH(text) AS tc FROM documents
-), g2 AS ({grams(2)}),
+WITH {lead_cte}{base_cte}g2 AS ({grams(2)}),
 c2 AS (SELECT doc_id, tc, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, tc, g),
 t2 AS ({topfrac(2)}),
 g3 AS ({grams(3)}),

@@ -52,6 +52,7 @@ def test_tiles_decode_invariants(spark):
     assert len(chk) == GRID * GRID
     assert all(r.pixels_ok for r in chk)
     assert all(r.phash_ok for r in chk)
+    assert all(r.caption_ok for r in chk)  # verbatim, not just length
 
 
 def test_detect_trees_matches_oracle(spark):
