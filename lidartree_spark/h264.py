@@ -1,5 +1,5 @@
 """Pure-python H.264 / AVC (ITU-T Rec. H.264 | ISO/IEC 14496-10) —
-Baseline-profile all-intra encoder and decoder, two macroblock subsets:
+Baseline-profile all-intra encoder and decoder, three macroblock subsets:
 
 1. I_PCM (mb_type 25, §7.4.5 / Table 7-11): raw byte-aligned samples in a
    real NAL/slice syntax. LOSSLESS (up to the §7.4.5 constraint that 8-bit
@@ -15,13 +15,17 @@ Baseline-profile all-intra encoder and decoder, two macroblock subsets:
    explicitly disable the §8.7 deblocking filter (PPS
    deblocking_filter_control_present_flag=1 + slice idc=1), so they decode
    EXACTLY on any conformant decoder and on this one.
+3. CAVLC I_NxN (mb_type 0): per-4x4 intra prediction with ALL NINE
+   §8.3.1.2 modes (V/H/DC/DDL/DDR/VR/HD/VL/HU on reconstructed
+   neighbors, top-right sample substitution, §8.3.1.1 most-probable-mode
+   coding), Table 9-4 me(v) coded_block_pattern, per-block CAVLC
+   residuals under the §9.2.1 nC neighbor contexts.
 
 The decoder parses the genuine syntax — NAL headers, EBSP emulation
 prevention (§7.3.1, 0x000003 escaping), Exp-Golomb SPS/PPS/slice headers —
 and raises a specific NotImplementedError the moment it meets what it
-cannot decode exactly: CABAC entropy coding, I_NxN (per-4x4 intra)
-macroblocks, inter slices, interlace, or an entropy-coded slice that
-leaves the deblocking filter enabled. Third-party streams fail loudly and
+cannot decode exactly: CABAC entropy coding, inter slices, interlace, or
+an entropy-coded slice that leaves the deblocking filter enabled. Third-party streams fail loudly and
 precisely rather than mis-decoding.
 
 Frames are grayscale (the engine's canopy tiles): luma carries the image,
@@ -344,11 +348,182 @@ def _intra16_pred(mode: int, top: np.ndarray | None,
     return np.clip(plane, 0, 255)
 
 
+# Table 9-4 (ChromaArrayType 1), Intra_4x4 column: codeNum ->
+# coded_block_pattern for me(v)-coded cbp. Machine-checked bijection over
+# 0..47 (tests/test_h264_i4x4.py); anchors (0->47, 2->15, 3->0) are the
+# widely-quoted values.
+CBP_INTRA_FROM_CODE = [
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41,
+]
+CODE_FROM_CBP_INTRA = {cbp: i for i, cbp in enumerate(CBP_INTRA_FROM_CODE)}
+
+
+def _intra4_pred(mode: int, t: np.ndarray | None, le: np.ndarray | None,
+                 x_corner: int | None) -> np.ndarray | None:
+    """4x4 intra prediction (§8.3.1.2, modes 0-8) -> int64 (4,4) or None
+    when the mode's required neighbors are absent. `t` is the 8-sample
+    top row AFTER top-right substitution (p[x,-1], x 0..7 — callers
+    extend with p[3,-1] when the top-right block is undecoded, §8.3.1.2
+    sample substitution); `le` is p[-1,y] y 0..3; x_corner is p[-1,-1]."""
+    out = np.empty((4, 4), np.int64)
+    if mode == 0:                        # Vertical
+        if t is None:
+            return None
+        return np.tile(t[:4], (4, 1))
+    if mode == 1:                        # Horizontal
+        if le is None:
+            return None
+        return np.tile(le[:, None], (1, 4))
+    if mode == 2:                        # DC
+        if t is not None and le is not None:
+            dc = (int(t[:4].sum()) + int(le.sum()) + 4) >> 3
+        elif t is not None:
+            dc = (int(t[:4].sum()) + 2) >> 2
+        elif le is not None:
+            dc = (int(le.sum()) + 2) >> 2
+        else:
+            dc = 128
+        return np.full((4, 4), dc, np.int64)
+    if mode == 3:                        # Diagonal Down-Left
+        if t is None:
+            return None
+        for y in range(4):
+            for x in range(4):
+                if x == 3 and y == 3:
+                    out[y, x] = (t[6] + 3 * t[7] + 2) >> 2
+                else:
+                    out[y, x] = (t[x + y] + 2 * t[x + y + 1]
+                                 + t[x + y + 2] + 2) >> 2
+        return out
+    if mode in (4, 5, 6) and (t is None or le is None or x_corner is None):
+        return None
+    if mode == 7 and t is None:
+        return None
+    if mode == 8 and le is None:
+        return None
+
+    def tp(i: int) -> int:               # p[i, -1] with p[-1,-1] at i=-1
+        return int(x_corner) if i == -1 else int(t[i])
+
+    def lp(i: int) -> int:               # p[-1, i] with p[-1,-1] at i=-1
+        return int(x_corner) if i == -1 else int(le[i])
+
+    if mode == 4:                        # Diagonal Down-Right
+        for y in range(4):
+            for x in range(4):
+                if x > y:
+                    out[y, x] = (tp(x - y - 2) + 2 * tp(x - y - 1)
+                                 + tp(x - y) + 2) >> 2
+                elif x < y:
+                    out[y, x] = (lp(y - x - 2) + 2 * lp(y - x - 1)
+                                 + lp(y - x) + 2) >> 2
+                else:
+                    out[y, x] = (tp(0) + 2 * int(x_corner) + lp(0) + 2) >> 2
+        return out
+    if mode == 5:                        # Vertical-Right
+        for y in range(4):
+            for x in range(4):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    out[y, x] = (tp(x - (y >> 1) - 1)
+                                 + tp(x - (y >> 1)) + 1) >> 1
+                elif z >= 0:
+                    out[y, x] = (tp(x - (y >> 1) - 2)
+                                 + 2 * tp(x - (y >> 1) - 1)
+                                 + tp(x - (y >> 1)) + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (lp(0) + 2 * int(x_corner) + tp(0) + 2) >> 2
+                else:
+                    out[y, x] = (lp(y - 1) + 2 * lp(y - 2)
+                                 + lp(y - 3) + 2) >> 2
+        return out
+    if mode == 6:                        # Horizontal-Down
+        for y in range(4):
+            for x in range(4):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    out[y, x] = (lp(y - (x >> 1) - 1)
+                                 + lp(y - (x >> 1)) + 1) >> 1
+                elif z >= 0:
+                    out[y, x] = (lp(y - (x >> 1) - 2)
+                                 + 2 * lp(y - (x >> 1) - 1)
+                                 + lp(y - (x >> 1)) + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (lp(0) + 2 * int(x_corner) + tp(0) + 2) >> 2
+                else:
+                    out[y, x] = (tp(x - 1) + 2 * tp(x - 2)
+                                 + tp(x - 3) + 2) >> 2
+        return out
+    if mode == 7:                        # Vertical-Left
+        for y in range(4):
+            for x in range(4):
+                i = x + (y >> 1)
+                if y % 2 == 0:
+                    out[y, x] = (t[i] + t[i + 1] + 1) >> 1
+                else:
+                    out[y, x] = (t[i] + 2 * t[i + 1] + t[i + 2] + 2) >> 2
+        return out
+    if mode == 8:                        # Horizontal-Up
+        for y in range(4):
+            for x in range(4):
+                z = x + 2 * y
+                i = y + (x >> 1)
+                if z > 5:
+                    out[y, x] = int(le[3])
+                elif z == 5:
+                    out[y, x] = (int(le[2]) + 3 * int(le[3]) + 2) >> 2
+                elif z % 2 == 0:
+                    out[y, x] = (int(le[i]) + int(le[i + 1]) + 1) >> 1
+                else:
+                    out[y, x] = (int(le[i]) + 2 * int(le[i + 1])
+                                 + int(le[i + 2]) + 2) >> 2
+        return out
+    raise ValueError(f"invalid intra_4x4 pred mode {mode}")
+
+
+def _i4_neighbors(recon: np.ndarray, order: np.ndarray, yy: int, xx: int):
+    """Neighbor samples for the 4x4 block whose top-left pixel is
+    (yy, xx): (top 8 after top-right substitution, left 4, corner) with
+    None where unavailable. `order` holds each 4x4 block's decode rank;
+    the top-right quad counts only when ALREADY decoded (§8.3.1.2 sample
+    availability under raster MB + §6.4.3 block order)."""
+    by, bx = yy // 4, xx // 4
+    cur = order[by, bx]
+    top = le = corner = None
+    if yy > 0:
+        t4 = recon[yy - 1, xx:xx + 4].astype(np.int64)
+        if (xx + 4 < recon.shape[1] and by > 0
+                and order[by - 1, bx + 1] < cur):
+            tr = recon[yy - 1, xx + 4:xx + 8].astype(np.int64)
+        else:
+            tr = np.full(4, t4[3], np.int64)  # substitute p[3,-1]
+        top = np.concatenate([t4, tr])
+    if xx > 0:
+        le = recon[yy:yy + 4, xx - 1].astype(np.int64)
+    if yy > 0 and xx > 0:
+        corner = int(recon[yy - 1, xx - 1])
+    return top, le, corner
+
+
 def _blk_xy(b: int) -> tuple[int, int]:
     """4x4 luma block scan order inside an MB (§6.4.3): raster of 4x4
     blocks within each 8x8 quadrant, quadrants in raster order."""
     q, i = b // 4, b % 4
     return (q % 2) * 8 + (i % 2) * 4, (q // 2) * 8 + (i // 2) * 4
+
+
+def _blk_order(mb_h: int, mb_w: int) -> np.ndarray:
+    """Decode rank of every 4x4 luma block (raster MB order, §6.4.3 block
+    order inside the MB) — the availability oracle for top-right samples."""
+    order = np.empty((4 * mb_h, 4 * mb_w), np.int64)
+    for mb in range(mb_h * mb_w):
+        my, mx = divmod(mb, mb_w)
+        for b in range(16):
+            x, y = _blk_xy(b)
+            order[4 * my + y // 4, 4 * mx + x // 4] = mb * 16 + b
+    return order
 
 
 def _nc_luma(nnz: np.ndarray, bx: int, by: int) -> int:
@@ -468,10 +643,110 @@ def encode_idr_i16(img: np.ndarray, idr_pic_id: int, qp: int = 10) -> bytes:
     return bw.rbsp()
 
 
-def encode_h264_cavlc(frames: np.ndarray, qp: int = 10) \
+def encode_idr_i4x4(img: np.ndarray, idr_pic_id: int, qp: int = 10) -> bytes:
+    """One IDR coded-slice RBSP, every MB I_NxN (Intra_4x4, mb_type 0)
+    with CAVLC residuals. Per 4x4 block the encoder tries all nine
+    §8.3.1.2 prediction modes whose neighbors exist on the RECONSTRUCTED
+    frame (blocks reconstruct immediately, in §6.4.3 order, exactly as
+    the decoder will), keeps the minimum-SAE one, and codes it through
+    the §8.3.1.1 most-probable-mode syntax. coded_block_pattern is
+    me(v)-mapped through Table 9-4; CodedBlockPatternChroma stays 0
+    (grayscale engine)."""
+    from lidartree_spark import h264_cavlc as cv
+
+    if not 0 <= qp <= 51:
+        raise ValueError("qp out of [0, 51]")
+    padded = _pad_mb(img).astype(np.int64)
+    mb_h, mb_w = padded.shape[0] // 16, padded.shape[1] // 16
+    recon = np.zeros(padded.shape, np.uint8)
+    nnz = np.zeros((4 * mb_h, 4 * mb_w), np.int64)
+    modes = np.full((4 * mb_h, 4 * mb_w), -1, np.int64)
+    order = _blk_order(mb_h, mb_w)
+
+    bw = BitWriter()
+    bw.ue(0)                       # first_mb_in_slice
+    bw.ue(7)                       # slice_type 7: I
+    bw.ue(0)                       # pic_parameter_set_id
+    bw.u(LOG2_MAX_FRAME_NUM, 0)    # frame_num
+    bw.ue(idr_pic_id & 0xFFFF)     # idr_pic_id
+    bw.u(1, 0)                     # no_output_of_prior_pics_flag
+    bw.u(1, 0)                     # long_term_reference_flag
+    bw.se(qp - 26)                 # slice_qp_delta
+    bw.ue(1)                       # disable_deblocking_filter_idc = 1
+
+    for my in range(mb_h):
+        for mx in range(mb_w):
+            bx0, by0 = 4 * mx, 4 * my
+            # pass 1: per block choose mode, quantize, reconstruct (the
+            # decoder's own dequant path), remember syntax elements
+            blk_modes, blk_coeffs = [], []
+            for b in range(16):
+                x, y = _blk_xy(b)
+                yy, xx = my * 16 + y, mx * 16 + x
+                src = padded[yy:yy + 4, xx:xx + 4]
+                top, le, corner = _i4_neighbors(recon, order, yy, xx)
+                best = None
+                for m in range(9):
+                    pred = _intra4_pred(m, top, le, corner)
+                    if pred is None:
+                        continue
+                    sae = int(np.abs(src - pred).sum())
+                    if best is None or sae < best[0]:
+                        best = (sae, m, pred)
+                _, m, pred = best
+                z = cv.quant4x4(cv.forward4x4(src - pred), qp)
+                scan = [int(z[i, j]) for i, j in cv.ZIGZAG]
+                blk_modes.append(m)
+                blk_coeffs.append(scan)
+                res = cv.inverse4x4(cv.dequant4x4_ac(z, qp))
+                recon[yy:yy + 4, xx:xx + 4] = \
+                    np.clip(pred + res, 0, 255).astype(np.uint8)
+            cbp_luma = 0
+            for g in range(4):
+                if any(any(blk_coeffs[g * 4 + i]) for i in range(4)):
+                    cbp_luma |= 1 << g
+            # groups with a zero cbp bit decode as zero residual — which
+            # they already are, so recon above stays decoder-exact
+            bw.ue(0)               # mb_type: I_NxN
+            for b in range(16):
+                x, y = _blk_xy(b)
+                bx, by = bx0 + x // 4, by0 + y // 4
+                ma = modes[by, bx - 1] if bx > 0 else -1
+                mbv = modes[by - 1, bx] if by > 0 else -1
+                pm = 2 if (ma < 0 or mbv < 0) else min(int(ma), int(mbv))
+                m = blk_modes[b]
+                if m == pm:
+                    bw.u(1, 1)
+                else:
+                    bw.u(1, 0)
+                    bw.u(3, m if m < pm else m - 1)
+                modes[by, bx] = m
+            bw.ue(0)               # intra_chroma_pred_mode: DC
+            bw.ue(CODE_FROM_CBP_INTRA[cbp_luma])  # cbp (chroma part 0)
+            if cbp_luma:
+                bw.se(0)           # mb_qp_delta
+            for b in range(16):
+                x, y = _blk_xy(b)
+                bx, by = bx0 + x // 4, by0 + y // 4
+                if cbp_luma & (1 << (b // 4)):
+                    tc = cv.encode_residual(
+                        bw, blk_coeffs[b], _nc_luma(nnz, bx, by), 16)
+                    nnz[by, bx] = tc
+                else:
+                    nnz[by, bx] = 0
+    bw.rbsp_trailing()
+    return bw.rbsp()
+
+
+def encode_h264_cavlc(frames: np.ndarray, qp: int = 10,
+                      mb_mode: str = "i16x16") \
         -> tuple[bytes, bytes, list[bytes]]:
     """(n, h, w) frames -> (sps_nal, pps_nal, [slice_nal]), every MB
-    CAVLC-coded Intra_16x16 (real entropy coding, lossy per qp)."""
+    CAVLC-coded (real entropy coding, lossy per qp). mb_mode selects the
+    macroblock type: 'i16x16' (Intra_16x16) or 'i4x4' (I_NxN per-4x4
+    intra — finer prediction, better on detailed content)."""
+    if mb_mode not in ("i16x16", "i4x4"):
+        raise ValueError(f"unknown mb_mode {mb_mode!r}")
     f = np.asarray(frames)
     if f.ndim != 3:
         raise ValueError("frames must be (n, h, w)")
@@ -481,7 +756,8 @@ def encode_h264_cavlc(frames: np.ndarray, qp: int = 10) \
     n, h, w = f.shape
     sps = nal(7, encode_sps(w, h))
     pps = nal(8, encode_pps(deblock_control=True))
-    slices = [nal(5, encode_idr_i16(f[i], i, qp)) for i in range(n)]
+    enc = encode_idr_i16 if mb_mode == "i16x16" else encode_idr_i4x4
+    slices = [nal(5, enc(f[i], i, qp)) for i in range(n)]
     return sps, pps, slices
 
 
@@ -557,8 +833,9 @@ def parse_pps(rbsp: bytes) -> dict:
 
 def decode_slice_i(rbsp: bytes, sps: dict, pps: dict) -> np.ndarray:
     """Decode one I-slice RBSP -> (16*mb_h, 16*mb_w) luma. Handles I_PCM
-    (mb_type 25) and CAVLC Intra_16x16 (mb_type 1..24) macroblocks, mixed
-    freely. I_NxN (mb_type 0: per-4x4 intra prediction) still raises.
+    (mb_type 25), CAVLC Intra_16x16 (mb_type 1..24) and CAVLC I_NxN
+    (mb_type 0: per-4x4 intra, all nine §8.3.1.2 prediction modes)
+    macroblocks, mixed freely.
     Chroma residuals are parsed for bitstream sync but not reconstructed
     (grayscale engine). A stream with the deblocking filter ENABLED would
     need §8.7 loop filtering for exact output, which is out of scope —
@@ -598,6 +875,10 @@ def decode_slice_i(rbsp: bytes, sps: dict, pps: dict) -> np.ndarray:
     luma = np.zeros((16 * mb_h, 16 * mb_w), np.uint8)
     nnz = np.zeros((4 * mb_h, 4 * mb_w), np.int64)       # luma AC TotalCoeff
     cnnz = np.zeros((2, 2 * mb_h, 2 * mb_w), np.int64)   # chroma AC, Cb/Cr
+    # per-4x4 intra pred modes for §8.3.1.1 mode prediction: non-I_NxN MBs
+    # contribute 2 (DC); -1 only ever read for out-of-picture neighbors
+    modes = np.full((4 * mb_h, 4 * mb_w), -1, np.int64)
+    order = _blk_order(mb_h, mb_w)
     for mb in range(mb_w * mb_h):
         my, mx = divmod(mb, mb_w)
         mb_type = br.ue()
@@ -610,11 +891,8 @@ def decode_slice_i(rbsp: bytes, sps: dict, pps: dict) -> np.ndarray:
             # §9.2.1: PCM macroblock blocks count as 16 coefficients
             nnz[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 16
             cnnz[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 16
+            modes[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = 2
             continue
-        if mb_type == 0:
-            raise NotImplementedError(
-                "H.264 I_NxN (per-4x4 intra prediction) macroblocks not "
-                "supported; Intra_16x16 CAVLC and I_PCM decode")
         if mb_type > 25:
             raise ValueError(f"invalid I-slice mb_type {mb_type}")
         if not deblock_disabled:
@@ -627,9 +905,77 @@ def decode_slice_i(rbsp: bytes, sps: dict, pps: dict) -> np.ndarray:
                 "H.264 deblocking filter (§8.7) not implemented: this "
                 "entropy-coded slice leaves it enabled; only streams with "
                 "disable_deblocking_filter_idc=1 decode exactly")
+        bx0, by0 = 4 * mx, 4 * my
+        if mb_type == 0:               # I_NxN (Intra_4x4), CAVLC
+            # mb_pred (§7.3.5.1): prev_intra4x4_pred_mode_flag / rem per
+            # block; predicted mode = min(left, top) with DC fallback
+            mb_modes = []
+            for b in range(16):
+                x, y = _blk_xy(b)
+                bx, by = bx0 + x // 4, by0 + y // 4
+                ma = modes[by, bx - 1] if bx > 0 else -1
+                mbv = modes[by - 1, bx] if by > 0 else -1
+                pm = 2 if (ma < 0 or mbv < 0) else min(int(ma), int(mbv))
+                if br.u(1):
+                    m = pm
+                else:
+                    rem = br.u(3)
+                    m = rem if rem < pm else rem + 1
+                modes[by, bx] = m
+                mb_modes.append(m)
+            br.ue()                    # intra_chroma_pred_mode
+            code = br.ue()
+            if code > 47:
+                raise ValueError("invalid coded_block_pattern codeNum")
+            cbp = CBP_INTRA_FROM_CODE[code]
+            cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+            if cbp:
+                qp = (qp + br.se()) % 52
+            for b in range(16):
+                x, y = _blk_xy(b)
+                bx, by = bx0 + x // 4, by0 + y // 4
+                if cbp_luma & (1 << (b // 4)):
+                    coeffs, tc = cv.decode_residual(
+                        br, _nc_luma(nnz, bx, by), 16)
+                    nnz[by, bx] = tc
+                else:
+                    coeffs = [0] * 16
+                    nnz[by, bx] = 0
+                yy, xx = my * 16 + y, mx * 16 + x
+                top, le, corner = _i4_neighbors(luma, order, yy, xx)
+                pred = _intra4_pred(mb_modes[b], top, le, corner)
+                if pred is None:
+                    raise ValueError("intra_4x4 mode needs unavailable "
+                                     "neighbors (corrupt stream)")
+                z = np.zeros((4, 4), np.int64)
+                for kk, (i, j) in enumerate(cv.ZIGZAG):
+                    z[i, j] = coeffs[kk]
+                res = cv.inverse4x4(cv.dequant4x4_ac(z, qp))
+                luma[yy:yy + 4, xx:xx + 4] = \
+                    np.clip(pred + res, 0, 255).astype(np.uint8)
+            if cbp_chroma:
+                for _comp in range(2):
+                    cv.decode_residual(br, -1, 4)   # ChromaDCLevel
+            if cbp_chroma == 2:
+                for comp in range(2):
+                    for cb in range(4):
+                        cbx = 2 * mx + cb % 2
+                        cby = 2 * my + cb // 2
+                        na = cnnz[comp, cby, cbx - 1] if cbx > 0 else -1
+                        nb = cnnz[comp, cby - 1, cbx] if cby > 0 else -1
+                        if na >= 0 and nb >= 0:
+                            nc = (int(na) + int(nb) + 1) >> 1
+                        else:
+                            nc = max(int(na), int(nb), 0)
+                        _, tc = cv.decode_residual(br, nc, 15)
+                        cnnz[comp, cby, cbx] = tc
+            else:
+                cnnz[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+            continue
         k = mb_type - 1
         pred_mode, cbp_chroma = k % 4, (k // 4) % 3
         cbp_luma = 15 if k >= 12 else 0
+        modes[by0:by0 + 4, bx0:bx0 + 4] = 2  # I16 MBs predict as DC (§8.3.1.1)
         br.ue()                    # intra_chroma_pred_mode (chroma unused)
         qp = (qp + br.se()) % 52   # mb_qp_delta (§7.4.5 modular wrap)
         top = luma[my * 16 - 1, mx * 16:(mx + 1) * 16].astype(np.int64) \

@@ -123,13 +123,16 @@ def encode_mp4_mjpeg(frames: np.ndarray, fps: int = 10,
 
 
 def encode_mp4_h264(frames: np.ndarray, fps: int = 10,
-                    qp: int | None = None) -> bytes:
+                    qp: int | None = None,
+                    mb_mode: str = "i16x16") -> bytes:
     """(n, h, w) -> MP4 bytes: 'avc1' track of IDR samples.
 
     qp=None: all-I_PCM macroblocks — lossless except PCM's 0 -> 1 clamp.
-    qp=int:  CAVLC-coded Intra_16x16 macroblocks (real entropy coding,
+    qp=int:  CAVLC-coded intra macroblocks (real entropy coding,
              transform + quantization; PSNR set by qp — >= 40 dB holds
-             through qp ~= 20 on smooth tiles).
+             through qp ~= 20 on smooth tiles). mb_mode picks Intra_16x16
+             ('i16x16') or I_NxN per-4x4 intra ('i4x4', all nine §8.3.1.2
+             prediction modes).
     SPS/PPS ride in the avcC record (14496-15 §5.3.3); each sample is one
     4-byte-length-prefixed IDR NAL.
     """
@@ -138,7 +141,7 @@ def encode_mp4_h264(frames: np.ndarray, fps: int = 10,
     f = _norm_frames(frames)
     n, h, w = f.shape
     sps, pps, slices = (encode_h264_ipcm(f) if qp is None
-                        else encode_h264_cavlc(f, qp=qp))
+                        else encode_h264_cavlc(f, qp=qp, mb_mode=mb_mode))
     avcc_body = (bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])
                  + struct.pack(">H", len(sps)) + sps
                  + bytes([1]) + struct.pack(">H", len(pps)) + pps)

@@ -12,10 +12,12 @@ signatures) is real and tested. Format decoders:
   frame is a baseline JPEG)
 - fmt == "mp4"     -> REAL ISO-BMFF / MP4 (lidartree_spark.mp4: full box
   tree + stsd/stts/stsc/stsz/stco|co64 sample table). Sample codecs that
-  decode: 'jpeg' (Motion-JPEG) and 'avc1' H.264 in two Baseline subsets
+  decode: 'jpeg' (Motion-JPEG) and 'avc1' H.264 in three Baseline subsets
   (lidartree_spark.h264 — real NAL/EBSP/Exp-Golomb/slice syntax): lossless
-  all-I_PCM and entropy-coded CAVLC Intra_16x16 (h264_cavlc.py). CABAC,
-  I_NxN and inter slices raise a specific NotImplementedError.
+  all-I_PCM, entropy-coded CAVLC Intra_16x16, and entropy-coded CAVLC
+  I_NxN (per-4x4 intra, all nine prediction modes; h264_cavlc.py holds
+  the shared residual engine). CABAC and inter slices raise a specific
+  NotImplementedError.
 
 No stub decoders remain (STUB_FORMATS is empty); `FakeDecoder` survives
 only as the deterministic pixel/sample SOURCE for synthetic_media — i.e. a
@@ -270,15 +272,18 @@ def synthetic_media(spark, n: int = 24) -> DataFrame:
         else:
             nf = 8 + (i % 5)
             frames = FakeDecoder.video(mid, 16, 12, nf)
-            variant = (i // 3) % 4
+            variant = (i // 3) % 5
             if variant == 0:
                 blob, fmt = encode_avi_mjpeg(frames, quality=95), "avi"
             elif variant == 1:
                 blob, fmt = encode_mp4_mjpeg(frames, quality=95), "mp4"
             elif variant == 2:  # lossless-PCM H.264 track, same 'mp4' tag
                 blob, fmt = encode_mp4_h264(frames), "mp4"
-            else:  # entropy-coded CAVLC Intra_16x16 H.264 track
+            elif variant == 3:  # entropy-coded CAVLC Intra_16x16
                 blob, fmt = encode_mp4_h264(frames, qp=8), "mp4"
+            else:  # entropy-coded CAVLC I_NxN (per-4x4 intra)
+                blob, fmt = encode_mp4_h264(frames, qp=8,
+                                            mb_mode="i4x4"), "mp4"
             rows.append({"media_id": mid, "kind": kind,
                          "bytes": blob,
                          "fmt": fmt, "width": 16, "height": 12,

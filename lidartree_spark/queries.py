@@ -4630,20 +4630,23 @@ for _n in ("catalog_roi_stats", "checkpoint_resume_stats",
 
 
 # --- multimodal VIDEO gate (extended set; the 50-row budget is full) -------
-# Eight analytic videos, frame[t, y, x] = 40 + 3t + 4y + 5x (planar, <=255,
-# no zeros so I_PCM's 0->1 clamp never fires), round-robin through the four
-# REAL container/codec paths. Distributed mapInPandas does encode -> decode
-# -> stats. The I_PCM rows decode EXACTLY to the formula, so DuckDB
-# re-derives their sum/min/max in closed form; the lossy rows (Motion-JPEG
-# q95, CAVLC qp8 — planar content both codecs reproduce well) contribute
-# exact shape counts plus a psnr_ge_40 boolean computed against the in-UDF
-# ground truth (the whole codec stack is integer-deterministic, so the
-# boolean is stable), with -1 sentinels for the non-derivable sums.
+# Ten analytic videos, frame[t, y, x] = 40 + 3t + 4y + 5x (planar, <=255,
+# no zeros so I_PCM's 0->1 clamp never fires), round-robin through the FIVE
+# REAL container/codec paths (AVI/MJPEG, MP4/MJPEG, MP4/H.264-I_PCM,
+# MP4/H.264-CAVLC-Intra_16x16, MP4/H.264-CAVLC-I_NxN). Distributed
+# mapInPandas does encode -> decode -> stats. The I_PCM rows decode EXACTLY
+# to the formula, so DuckDB re-derives their sum/min/max in closed form;
+# the lossy rows (Motion-JPEG q95, both CAVLC subsets at qp8 — planar
+# content every codec reproduces well) contribute exact shape counts plus a
+# psnr_ge_40 boolean computed against the in-UDF ground truth (the whole
+# codec stack is integer-deterministic, so the boolean is stable), with -1
+# sentinels for the non-derivable sums.
 
 def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video round-trips, distributed: AVI/MJPEG, MP4/MJPEG,
-    MP4/H.264-I_PCM (pinned exactly) and MP4/H.264-CAVLC (real entropy
-    coding; quality-bounded). Oracle: _VIDEO_STATS_DUCK."""
+    MP4/H.264-I_PCM (pinned exactly) and MP4/H.264-CAVLC in both intra
+    subsets — Intra_16x16 and I_NxN (real entropy coding;
+    quality-bounded). Oracle: _VIDEO_STATS_DUCK."""
     import pandas as pd
 
     def run(batches):
@@ -4664,7 +4667,7 @@ def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t, y, x = np.mgrid[0:nf, 0:h, 0:w]
                 truth = (40 + 3 * t + 4 * y + 5 * x).astype(np.uint8)
                 codec = ("avi_mjpeg", "mp4_mjpeg", "mp4_ipcm",
-                         "mp4_cavlc")[vid % 4]
+                         "mp4_cavlc", "mp4_i4x4")[vid % 5]
                 if codec == "avi_mjpeg":
                     dec = decode_avi_mjpeg(encode_avi_mjpeg(truth,
                                                             quality=95))
@@ -4672,8 +4675,11 @@ def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dec = decode_mp4(encode_mp4_mjpeg(truth, quality=95))
                 elif codec == "mp4_ipcm":
                     dec = decode_mp4(encode_mp4_h264(truth))
-                else:
+                elif codec == "mp4_cavlc":
                     dec = decode_mp4(encode_mp4_h264(truth, qp=8))
+                else:  # entropy-coded I_NxN (per-4x4 intra, 9 modes)
+                    dec = decode_mp4(encode_mp4_h264(truth, qp=8,
+                                                     mb_mode="i4x4"))
                 err = dec.astype(np.float64) - truth.astype(np.float64)
                 mse = float((err ** 2).mean())
                 psnr_ok = mse == 0.0 or \
@@ -4691,7 +4697,7 @@ def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 })
             yield pd.DataFrame(out, columns=cols)
 
-    return spark.range(8).repartition(4).mapInPandas(
+    return spark.range(10).repartition(4).mapInPandas(
         run, schema=("video_id bigint, codec string, n_frames bigint, "
                      "h bigint, w bigint, sum_px bigint, min_px bigint, "
                      "max_px bigint, psnr_ge_40 boolean"))
@@ -4700,9 +4706,10 @@ def _video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VIDEO_STATS_DUCK = """
 WITH dims AS (
   SELECT v, 16 + 4 * (v % 3) AS w, 12 + 4 * (v % 2) AS h, 6 + v % 4 AS nf,
-         CASE v % 4 WHEN 0 THEN 'avi_mjpeg' WHEN 1 THEN 'mp4_mjpeg'
-                    WHEN 2 THEN 'mp4_ipcm' ELSE 'mp4_cavlc' END AS codec
-  FROM UNNEST(generate_series(0, 7)) g(v)
+         CASE v % 5 WHEN 0 THEN 'avi_mjpeg' WHEN 1 THEN 'mp4_mjpeg'
+                    WHEN 2 THEN 'mp4_ipcm' WHEN 3 THEN 'mp4_cavlc'
+                    ELSE 'mp4_i4x4' END AS codec
+  FROM UNNEST(generate_series(0, 9)) g(v)
 ),
 px AS (
   SELECT d.v, 40 + 3 * tt.t + 4 * yy.y + 5 * xx.x AS val

@@ -122,7 +122,9 @@ def test_mp4_avc1_property_roundtrip(n, h2, w2, seed):
 def test_entropy_coded_mb_raises_specifically():
     frames = np.full((1, 16, 16), 7, np.uint8)
     sps, pps, slices = encode_h264_ipcm(frames)
-    # forge a slice whose first mb_type is I_4x4 (0) instead of I_PCM (25)
+    # forge a slice whose first mb_type is I_NxN (0) instead of I_PCM (25):
+    # it now DECODES in general, but this stream leaves the deblocking
+    # filter enabled (I_PCM-era PPS), so the §8.7 gate must fire first
     from lidartree_spark.h264 import LOG2_MAX_FRAME_NUM
     bw = BitWriter()
     bw.ue(0)
@@ -136,7 +138,7 @@ def test_entropy_coded_mb_raises_specifically():
     bw.ue(0)  # mb_type I_4x4 -> needs a CAVLC engine
     bw.rbsp_trailing()
     forged = nal(5, bw.rbsp())
-    with pytest.raises(NotImplementedError, match="I_PCM"):
+    with pytest.raises(NotImplementedError, match="deblocking"):
         decode_h264_ipcm(sps, pps, [forged])
 
 

@@ -252,7 +252,9 @@ def test_entropy_slice_with_deblocking_enabled_raises():
         decode_slice_i(bw.rbsp(), sps, pps)
 
 
-def test_i_nxn_macroblock_raises():
+def test_i_nxn_deblock_enabled_raises():
+    """I_NxN decodes now (tests/test_h264_i4x4.py), but an entropy-coded
+    slice that leaves the loop filter enabled still refuses exactly."""
     from lidartree_spark.h264 import decode_slice_i, encode_sps, parse_sps
     sps = parse_sps(encode_sps(16, 16))
     pps = parse_pps(encode_pps())
@@ -267,5 +269,5 @@ def test_i_nxn_macroblock_raises():
     bw.se(0)
     bw.ue(0)            # mb_type 0: I_NxN
     bw.rbsp_trailing()
-    with pytest.raises(NotImplementedError, match="I_NxN"):
+    with pytest.raises(NotImplementedError, match="deblocking"):
         decode_slice_i(bw.rbsp(), sps, pps)
