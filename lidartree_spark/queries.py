@@ -4861,6 +4861,110 @@ _EXTENDED["minhash_lsh"] = (_minhash_sql(_SHINGLES_SPARK, "spark"),
                             .replace("AS STRING", "AS VARCHAR"))
 _EXTENDED["ngram_jaccard"] = (_ngram_jaccard_salted,
                               _jaccard_sql(_SHINGLES_DUCK))
+# --- document chunking (context-window preparation, extended set) ----------
+# The training-data op that turns documents into fixed-size context
+# windows: token windows of W=64 with stride S=48 (25% overlap), the
+# standard packing-precursor shape. Pure projection + bounded explode
+# (~len/S rows per doc, no shuffle, no cross-doc dependency — map-side at
+# any corpus size). The chunk text itself is pinned by md5 so the gate
+# proves byte-exact window extraction, not just counts.
+
+def _chunk_sql(d: str) -> str:
+    w, s = 64, 48
+    if d == "spark":
+        return f"""
+WITH toks AS (
+  SELECT doc_id, split(text, ' ') AS l FROM documents
+)
+SELECT doc_id, c AS chunk_idx,
+       CAST(size(slice(l, c * {s} + 1, {w})) AS BIGINT) AS n_tokens,
+       md5(array_join(slice(l, c * {s} + 1, {w}), ' ')) AS chunk_md5
+FROM toks
+LATERAL VIEW explode(sequence(0,
+    CAST(FLOOR((size(l) - 1) / {s}) AS INT))) t AS c
+"""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+)
+SELECT doc_id, c AS chunk_idx,
+       CAST(LEAST(c * {s} + {w}, len(l)) - c * {s} AS BIGINT) AS n_tokens,
+       md5(array_to_string(
+           list_slice(l, c * {s} + 1, LEAST(c * {s} + {w}, len(l))), ' '))
+           AS chunk_md5
+FROM toks,
+     UNNEST(generate_series(0, CAST(FLOOR((len(l) - 1) / {s}) AS BIGINT)))
+         g(c)
+"""
+
+
+_EXTENDED["doc_chunking"] = (_chunk_sql("spark"), _chunk_sql("duck"))
+
+
+# --- PII scan / redaction gate (extended set) ------------------------------
+# Training-data scrubbing: count and redact emails / URLs / IPv4s. The
+# corpus is PLANTED in-query (doc i carries i%4 emails, i%3 URLs, i%2
+# IPs whose byte lengths are closed-form in i), so the DuckDB oracle
+# re-derives every count AND the post-redaction length without needing
+# regex-engine agreement — the gate pins Spark's actual regexp_count /
+# regexp_replace behavior against ground truth, which is STRONGER than
+# comparing two regex engines to each other. Map-side only.
+
+_PII_SPARK = """
+WITH ids AS (SELECT id AS i FROM range(0, 256)),
+doc AS (
+  SELECT i,
+         concat('lorem ipsum dolor sit amet',
+                repeat(concat(' user', CAST(i AS STRING), '@example.com'),
+                       CAST(i % 4 AS INT)),
+                repeat(concat(' https://site', CAST(i AS STRING),
+                              '.example/path'),
+                       CAST(i % 3 AS INT)),
+                repeat(concat(' 10.0.', CAST(i % 256 AS STRING), '.',
+                              CAST(i % 200 AS STRING)),
+                       CAST(i % 2 AS INT))) AS text
+  FROM ids
+)
+SELECT CAST(i AS BIGINT) AS did,
+       CAST(regexp_count(text, '[a-z0-9]+@[a-z0-9.]+') AS BIGINT)
+           AS n_email,
+       CAST(regexp_count(text, 'https://[a-z0-9./]+') AS BIGINT) AS n_url,
+       CAST(regexp_count(text, '[0-9]+\\\\.[0-9]+\\\\.[0-9]+\\\\.[0-9]+')
+            AS BIGINT) AS n_ip,
+       CAST(LENGTH(regexp_replace(regexp_replace(regexp_replace(text,
+            '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>'),
+            'https://[a-z0-9./]+', '<URL>'),
+            '[0-9]+\\\\.[0-9]+\\\\.[0-9]+\\\\.[0-9]+', '<IP>')) AS BIGINT)
+           AS red_len
+FROM doc
+"""
+
+# closed-form ground truth: filler is 26 bytes; each planted item adds
+# 1 (space) + its length; redaction swaps item bytes for the 7/5/4-byte
+# placeholders. len(email) = 4+dig+12, len(url) = 12+dig+13,
+# len(ip) = 5+dig+1+dig200 with dig = digits(i) (i < 256 so i%256 = i).
+_PII_DUCK = """
+WITH ids AS (SELECT i FROM UNNEST(generate_series(0, 255)) g(i)),
+f AS (
+  SELECT i, i % 4 AS ne, i % 3 AS nu, i % 2 AS ni,
+         LENGTH(CAST(i AS VARCHAR)) AS dig,
+         LENGTH(CAST(i % 200 AS VARCHAR)) AS d200
+  FROM ids
+)
+SELECT CAST(i AS BIGINT) AS did,
+       CAST(ne AS BIGINT) AS n_email,
+       CAST(nu AS BIGINT) AS n_url,
+       CAST(ni AS BIGINT) AS n_ip,
+       CAST(26 + ne * (1 + 16 + dig) + nu * (1 + 25 + dig)
+               + ni * (1 + 6 + dig + d200)
+               - ne * (16 + dig - 7) - nu * (25 + dig - 5)
+               - ni * (6 + dig + d200 - 4) AS BIGINT) AS red_len
+FROM f
+"""
+
+_EXTENDED["pii_scan"] = (_PII_SPARK, _PII_DUCK)
+
+
 # --- multimodal AUDIO gate (extended set) ----------------------------------
 # Driver-grade evidence for the WAV decode path (previously pytest-only):
 # 8 real RIFF/PCM16 files whose samples follow an integer formula that
