@@ -4901,6 +4901,68 @@ FROM toks,
 _EXTENDED["doc_chunking"] = (_chunk_sql("spark"), _chunk_sql("duck"))
 
 
+# --- BPE tokenizer training gate (extended set) -----------------------------
+# The REAL distributed trainer (operators/tokenize.train_bpe_merges: one
+# vocab shuffle + per-merge map-side pair-count partials, driver keeps only
+# the K-row merge table) on a PLANTED corpus whose merge sequence is
+# closed-form: words abab x16, abc x8, cc x4, dd x3, de x2 give pair
+# counts (a,b)=40 > (b,a)=16 ..., and each of the six merges has a unique
+# winner — (a,b,40), (ab,ab,16), (ab,c,8), (c,c,4), (d,d,3), (d,e,2) —
+# derivable by hand (no tie-breaks exercised; determinism under ties is
+# pytest-pinned vs the local replica on the REAL documents corpus,
+# tests/test_bpe.py). A second section pins apply_bpe: after all six
+# merges every planted word re-segments to exactly one token.
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from lidartree_spark.operators.tokenize import (apply_bpe,
+                                                    train_bpe_merges)
+    words = [("abab", 16), ("abc", 8), ("cc", 4), ("dd", 3), ("de", 2)]
+    rows = []
+    for w, n in words:
+        rows.extend({"doc_id": len(rows) + k, "text": w}
+                    for k in range(n))
+    for i, r in enumerate(rows):
+        r["doc_id"] = i
+    docs = spark.createDataFrame(pd.DataFrame(rows),
+                                 schema="doc_id long, text string")
+    merges = train_bpe_merges(docs, 6)
+    mrows = [{"section": "merge", "step": i, "a": a, "b": b, "cnt": n}
+             for i, (a, b, n) in enumerate(merges)]
+    distinct = spark.createDataFrame(
+        pd.DataFrame([{"doc_id": i, "text": w}
+                      for i, (w, _) in enumerate(words)]),
+        schema="doc_id long, text string")
+    toks = apply_bpe(distinct, merges).collect()
+    trows = [{"section": "tok", "step": int(r.doc_id),
+              "a": r.tokens[0], "b": "", "cnt": int(r.n_tokens)}
+             for r in toks]
+    return spark.createDataFrame(
+        pd.DataFrame(mrows + trows,
+                     columns=["section", "step", "a", "b", "cnt"]),
+        schema="section string, step long, a string, b string, cnt long")
+
+
+_BPE_TRAIN_DUCK = """
+SELECT * FROM (VALUES
+  ('merge', CAST(0 AS BIGINT), 'a', 'b', CAST(40 AS BIGINT)),
+  ('merge', 1, 'ab', 'ab', 16),
+  ('merge', 2, 'ab', 'c', 8),
+  ('merge', 3, 'c', 'c', 4),
+  ('merge', 4, 'd', 'd', 3),
+  ('merge', 5, 'd', 'e', 2),
+  ('tok', 0, 'abab', '', 1),
+  ('tok', 1, 'abc', '', 1),
+  ('tok', 2, 'cc', '', 1),
+  ('tok', 3, 'dd', '', 1),
+  ('tok', 4, 'de', '', 1)
+) AS t(section, step, a, b, cnt)
+"""
+
+_EXTENDED["bpe_train"] = (_bpe_train, _BPE_TRAIN_DUCK)
+
+
 # --- PII scan / redaction gate (extended set) ------------------------------
 # Training-data scrubbing: count and redact emails / URLs / IPv4s. The
 # corpus is PLANTED in-query (doc i carries i%4 emails, i%3 URLs, i%2
