@@ -1715,7 +1715,6 @@ WHERE rk <= CEIL(0.2 * stratum_n)
 
 _SHARED = {
     # name: (shared_sql_for_both,)
-    "stratified_sample": _STRATIFIED_SAMPLE,
     "points2dsm": _POINTS2DSM,
     "raster_metrics_regrid": _RASTER_METRICS,
     "vegetation_indices": _VEG_INDICES,
@@ -5394,6 +5393,14 @@ GROUP BY i, op, oh, ow
 
 _EXTENDED["image_augment_stats"] = (_image_augment_stats,
                                     _IMAGE_AUGMENT_DUCK)
+
+# round-3b swap: the standalone stratified sample is demoted (the SAME
+# deterministic hash-ranked sampler is the final stage of the
+# ♦ training_data_pipeline DRIVER row, so the operator stays
+# driver-pinned); the freed slot promotes bpe_train — a capability class
+# (tokenizer training) no other row covers.
+_EXTENDED["stratified_sample"] = (_STRATIFIED_SAMPLE, _STRATIFIED_SAMPLE)
+_DIALECT["bpe_train"] = _EXTENDED.pop("bpe_train")
 
 # demoted by the matching_scores merge (slot now pins streaming_dedup)
 _EXTENDED["hist_detection"] = (_hist_detection_sql("spark"),
