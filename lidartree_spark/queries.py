@@ -4900,6 +4900,51 @@ FROM toks,
 _EXTENDED["doc_chunking"] = (_chunk_sql("spark"), _chunk_sql("duck"))
 
 
+# --- domain-mixture sampling gate (extended set) ----------------------------
+# Data mixing (the Pile/Dolma-style step): sample so the OUTPUT follows
+# fixed target proportions per domain, not the corpus's own mix (that is
+# stratified_sample's job). Waterfilling with one feasibility scan:
+# T = MIN_s floor(n_s * 100 / w_s) is the largest output size whose
+# quotas k_s = floor(w_s * T / 100) never oversample a domain; rows are
+# then the top-k_s per domain by md5 rank (rerun-stable, RNG-free). Two
+# grouped passes + one window — no cross-domain join of row data.
+# Integer weights and FLOOR keep every quota exact in both engines.
+
+def _mixture_sql(dialect: str) -> str:
+    cast_t = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"""
+WITH wts AS (
+  SELECT * FROM (VALUES ('en', 40), ('de', 20), ('fr', 15), ('es', 15),
+                        ('zh', 10)) AS t(lang, w)
+), counts AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), scale AS (
+  SELECT CAST(MIN(FLOOR(c.n * 100.0 / t.w)) AS BIGINT) AS tmax
+  FROM counts c JOIN wts t ON t.lang = c.lang
+), quota AS (
+  -- scalar subquery, not a join: the 1-row scale CTE would otherwise
+  -- plan as a nested-loop cross join
+  SELECT t.lang,
+         CAST(FLOOR(t.w * (SELECT tmax FROM scale) / 100.0) AS BIGINT)
+             AS k
+  FROM wts t
+), ranked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS {cast_t})), doc_id) AS rk
+  FROM documents
+)
+SELECT r.lang, CAST(r.doc_id AS BIGINT) AS doc_id,
+       CAST(r.rk AS BIGINT) AS rk, q.k AS quota
+FROM ranked r JOIN quota q ON q.lang = r.lang
+WHERE r.rk <= q.k
+"""
+
+
+_EXTENDED["mixture_sample"] = (_mixture_sql("spark"), _mixture_sql("duck"))
+
+
 # --- BPE tokenizer training gate (extended set) -----------------------------
 # The REAL distributed trainer (operators/tokenize.train_bpe_merges: one
 # vocab shuffle + per-merge map-side pair-count partials, driver keeps only
