@@ -514,6 +514,34 @@ def _blk_xy(b: int) -> tuple[int, int]:
     return (q % 2) * 8 + (i % 2) * 4, (q // 2) * 8 + (i // 2) * 4
 
 
+def _parse_chroma_residual(br, cnnz: np.ndarray, mx: int, my: int,
+                           cbp_chroma: int) -> None:
+    """Parse-only chroma residual sync (§7.3.5.3.2; grayscale engine):
+    ChromaDC when cbp_chroma >= 1, per-block AC with §9.2.1 nC neighbor
+    contexts when == 2; updates the chroma TotalCoeff grid. Shared by the
+    Intra_16x16 and I_NxN macroblock branches."""
+    from lidartree_spark import h264_cavlc as cv
+
+    if cbp_chroma:
+        for _comp in range(2):
+            cv.decode_residual(br, -1, 4)          # ChromaDCLevel, nC = -1
+    if cbp_chroma == 2:
+        for comp in range(2):
+            for cb in range(4):
+                cbx = 2 * mx + cb % 2
+                cby = 2 * my + cb // 2
+                na = cnnz[comp, cby, cbx - 1] if cbx > 0 else -1
+                nb = cnnz[comp, cby - 1, cbx] if cby > 0 else -1
+                if na >= 0 and nb >= 0:
+                    nc = (int(na) + int(nb) + 1) >> 1
+                else:
+                    nc = max(int(na), int(nb), 0)
+                _, tc = cv.decode_residual(br, nc, 15)
+                cnnz[comp, cby, cbx] = tc
+    else:
+        cnnz[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+
+
 def _blk_order(mb_h: int, mb_w: int) -> np.ndarray:
     """Decode rank of every 4x4 luma block (raster MB order, §6.4.3 block
     order inside the MB) — the availability oracle for top-right samples."""
@@ -953,24 +981,7 @@ def decode_slice_i(rbsp: bytes, sps: dict, pps: dict) -> np.ndarray:
                 res = cv.inverse4x4(cv.dequant4x4_ac(z, qp))
                 luma[yy:yy + 4, xx:xx + 4] = \
                     np.clip(pred + res, 0, 255).astype(np.uint8)
-            if cbp_chroma:
-                for _comp in range(2):
-                    cv.decode_residual(br, -1, 4)   # ChromaDCLevel
-            if cbp_chroma == 2:
-                for comp in range(2):
-                    for cb in range(4):
-                        cbx = 2 * mx + cb % 2
-                        cby = 2 * my + cb // 2
-                        na = cnnz[comp, cby, cbx - 1] if cbx > 0 else -1
-                        nb = cnnz[comp, cby - 1, cbx] if cby > 0 else -1
-                        if na >= 0 and nb >= 0:
-                            nc = (int(na) + int(nb) + 1) >> 1
-                        else:
-                            nc = max(int(na), int(nb), 0)
-                        _, tc = cv.decode_residual(br, nc, 15)
-                        cnnz[comp, cby, cbx] = tc
-            else:
-                cnnz[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+            _parse_chroma_residual(br, cnnz, mx, my, cbp_chroma)
             continue
         k = mb_type - 1
         pred_mode, cbp_chroma = k % 4, (k // 4) % 3
@@ -1003,25 +1014,7 @@ def decode_slice_i(rbsp: bytes, sps: dict, pps: dict) -> np.ndarray:
         else:
             nnz[by0:by0 + 4, bx0:bx0 + 4] = 0
             ac_blocks = [[0] * 15 for _ in range(16)]
-        # chroma residual: parse-only (sync), §7.3.5.3.2 order
-        if cbp_chroma:
-            for _comp in range(2):
-                cv.decode_residual(br, -1, 4)      # ChromaDCLevel, nC = -1
-        if cbp_chroma == 2:
-            for comp in range(2):
-                for cb in range(4):
-                    cbx = 2 * mx + cb % 2
-                    cby = 2 * my + cb // 2
-                    na = cnnz[comp, cby, cbx - 1] if cbx > 0 else -1
-                    nb = cnnz[comp, cby - 1, cbx] if cby > 0 else -1
-                    if na >= 0 and nb >= 0:
-                        nc = (int(na) + int(nb) + 1) >> 1
-                    else:
-                        nc = max(int(na), int(nb), 0)
-                    _, tc = cv.decode_residual(br, nc, 15)
-                    cnnz[comp, cby, cbx] = tc
-        else:
-            cnnz[:, 2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = 0
+        _parse_chroma_residual(br, cnnz, mx, my, cbp_chroma)
         luma[my * 16:(my + 1) * 16, mx * 16:(mx + 1) * 16] = \
             _reconstruct_i16(pred, dc_z, ac_blocks, qp)
     if br.more_rbsp_data():

@@ -122,14 +122,7 @@ def train_centroids(embeddings: DataFrame, n_centroids: int = 16,
                 F.md5(F.concat_ws("|", F.lit(seed + 1),
                                   F.col(id_col).cast("string"))), 1, 8),
                 16, 10).cast("long"), F.lit(10000)) < gate)
-    init = (train
-            .withColumn("_h", F.md5(F.concat_ws("|", F.lit(seed),
-                                                F.col(id_col).cast("string"))))
-            .orderBy("_h")
-            .limit(n_centroids)
-            .select(vec_col)
-            .collect())
-    centroids = np.stack([np.asarray(r[0], dtype=np.float64) for r in init])
+    centroids = _md5_init_rows(train, n_centroids, id_col, vec_col, seed)
 
     partial_schema = "cid int, n long, sums array<double>"
     for _ in range(iters):
@@ -275,8 +268,8 @@ def _md5_init_rows(df: DataFrame, n: int, id_col: str, vec_col: str,
 
 def train_pq_codebook(embeddings: DataFrame, m: int = 4, ksub: int = 8,
                       iters: int = 2, id_col: str = "vec_id",
-                      vec_col: str = "embedding",
-                      seed: int = 151) -> np.ndarray:
+                      vec_col: str = "embedding", seed: int = 151,
+                      coarse: np.ndarray | None = None) -> np.ndarray:
     """Product-quantization codebook (Jegou/Douze/Schmid, "Product
     Quantization for Nearest Neighbor Search", TPAMI 2011): the D dims
     split into m subspaces of D/m, one ksub-centroid k-means PER subspace.
@@ -287,9 +280,14 @@ def train_pq_codebook(embeddings: DataFrame, m: int = 4, ksub: int = 8,
     partial sums; partials combined on the driver — the map-side-combine
     shape train_centroids uses). iters=0 keeps the md5-init rows verbatim,
     which is what makes the ann_pq DuckDB gate able to re-derive the
-    codebook."""
+    codebook. With `coarse` given the codebook is trained on RESIDUALS
+    vector - nearest-coarse-centroid (classic IVF-PQ: residual codewords
+    live near zero, matching what pq_encode(coarse=...) quantizes)."""
     base = embeddings.select(id_col, vec_col)
     rows = _md5_init_rows(base, ksub, id_col, vec_col, seed)
+    if coarse is not None:
+        d2c = ((rows[:, None, :] - coarse[None, :, :]) ** 2).sum(2)
+        rows = rows - coarse[d2c.argmin(1)]
     d = rows.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -307,6 +305,10 @@ def train_pq_codebook(embeddings: DataFrame, m: int = 4, ksub: int = 8,
                 if pdf.empty:
                     continue
                 vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                if coarse is not None:
+                    d2c = ((vecs[:, None, :] - coarse[None, :, :]) ** 2) \
+                        .sum(2)
+                    vecs = vecs - coarse[d2c.argmin(1)]
                 sub = vecs.reshape(len(vecs), m, dsub)
                 for s in range(m):
                     d2 = ((sub[:, s, None, :] - bk[s][None, :, :]) ** 2) \
@@ -389,12 +391,41 @@ def _pq_luts(queries: DataFrame, codebook: np.ndarray, id_col: str,
         run, schema="qid long, luts array<array<double>>")
 
 
+def _pq_luts_residual(queries: DataFrame, codebook: np.ndarray,
+                      coarse: np.ndarray, id_col: str,
+                      vec_col: str) -> DataFrame:
+    """(qid, cid) -> ADC table of the RESIDUAL query q - coarse[cid]
+    against the codebook (classic IVF-PQ, Jegou 2011 §IV.B: base codes
+    quantize residuals, so the query LUT must be residual-relative and
+    therefore per probed cell). One row per (query, cell); only probed
+    cells survive the downstream (qid, cid) join."""
+    m, ksub, dsub = codebook.shape
+
+    def run(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            for ci in range(len(coarse)):
+                sub = (vecs - coarse[ci][None, :]) \
+                    .reshape(len(vecs), m, dsub)
+                luts = ((sub[:, :, None, :] - codebook[None, :, :, :])
+                        ** 2).sum(3)
+                yield pd.DataFrame({"qid": pdf[id_col].to_numpy(),
+                                    "cid": ci,
+                                    "luts": [r.tolist() for r in luts]})
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        run, schema="qid long, cid int, luts array<array<double>>")
+
+
 def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
             m: int = 4, ksub: int = 8, iters: int = 2,
             codebook: np.ndarray | None = None,
             coarse_centroids: np.ndarray | None = None, nprobe: int = 4,
-            refine: int | None = None, id_col: str = "vec_id",
-            vec_col: str = "embedding", seed: int = 151) -> DataFrame:
+            refine: int | None = None, by_residual: bool = False,
+            id_col: str = "vec_id", vec_col: str = "embedding",
+            seed: int = 151) -> DataFrame:
     """IVF-PQ approximate nearest neighbors — the FAISS-style 100 TB plan:
 
     1. coarse stage (optional): base vectors live in their nearest coarse
@@ -403,7 +434,10 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
        vector bytes are read (cell id doubles as the partition key);
     2. ADC scoring: approx_d2 = sum_s luts[qid][s][code[vec][s]] — a
        JVM-side zip_with/element_at aggregate over the m-byte codes (the
-       full vectors are never touched);
+       full vectors are never touched). With by_residual=True (classic
+       IVF-PQ) the codes quantize vector - coarse-centroid residuals and
+       the LUTs are per probed (query, cell) — finer quantization, the
+       variant that wins on clustered data;
     3. refine (optional): the top k*refine by ADC re-scored with exact
        full-vector L2, then the final top-k — the standard two-stage
        recall recovery.
@@ -411,31 +445,42 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     Without coarse_centroids the candidate set is all base rows via a
     broadcast of the (small) query side — the exact-scan anchor shape,
     same as brute_force_topk. Returns (qid, vec_id, rk, adc)."""
+    if by_residual and coarse_centroids is None:
+        raise ValueError("by_residual=True requires coarse_centroids")
     if codebook is None:
         codebook = train_pq_codebook(embeddings, m, ksub, iters,
                                      id_col, vec_col, seed)
-    codes = pq_encode(embeddings, codebook, id_col, vec_col)
-    luts = _pq_luts(queries, codebook, id_col, vec_col)
+    codes = pq_encode(embeddings, codebook, id_col, vec_col,
+                      coarse=coarse_centroids if by_residual else None) \
+        .withColumnRenamed(id_col, "vec_id")
 
     if coarse_centroids is not None:
         base_cells = _assign_cells(embeddings, coarse_centroids, 1,
                                    id_col, vec_col, "vec_id")
         query_cells = _assign_cells(queries, coarse_centroids, nprobe,
                                     id_col, vec_col, "qid")
+        # each base vector owns exactly one cell, so keeping cid adds no
+        # duplicates; the residual path joins its LUT on (qid, cid)
         cand = (base_cells.join(F.broadcast(query_cells), "cid")
                 .where(F.col("qid") != F.col("vec_id"))
-                .select("qid", "vec_id").distinct())
-        scored = cand.join(codes.withColumnRenamed(id_col, "vec_id"),
-                           "vec_id").select("qid", "vec_id", "code")
+                .select("qid", "vec_id", "cid").distinct())
+        scored = cand.join(codes, "vec_id")
+        if by_residual:
+            luts = _pq_luts_residual(queries, codebook, coarse_centroids,
+                                     id_col, vec_col)
+            scored = scored.join(F.broadcast(luts), ["qid", "cid"])
+        else:
+            luts = _pq_luts(queries, codebook, id_col, vec_col)
+            scored = scored.join(F.broadcast(luts), "qid")
     else:
-        scored = (codes.withColumnRenamed(id_col, "vec_id")
-                  .join(F.broadcast(luts.select("qid")),
-                        F.col("qid") != F.col("vec_id")))
+        luts = _pq_luts(queries, codebook, id_col, vec_col)
+        scored = codes.join(F.broadcast(luts),
+                            F.col("qid") != F.col("vec_id"))
     adc = F.aggregate(
         F.zip_with("code", "luts",
                    lambda c, l: F.element_at(l, c + F.lit(1))),
         F.lit(0.0), lambda a, x: a + x)
-    scored = scored.join(F.broadcast(luts), "qid").withColumn("adc", adc)
+    scored = scored.withColumn("adc", adc)
     w = Window.partitionBy("qid").orderBy(F.asc("adc"), F.asc("vec_id"))
     ranked = scored.withColumn("rk", F.row_number().over(w))
     if refine is None:

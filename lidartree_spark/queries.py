@@ -4155,23 +4155,29 @@ _DIALECT["crown_wkt_rects"] = (_crown_wkt_rects, _CROWN_WKT_DUCK)
 # availableNow) is compared against a plain batch SQL oracle — on bounded
 # input a correct streaming aggregation must equal the batch answer.
 
-def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 1) -> str:
+def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 1,
+                  overlap: int = 0) -> str:
     """Copy events.parquet into a temp dir (file-source streams read
     directories); n_files > 1 splits it so maxFilesPerTrigger can force
-    multiple micro-batches."""
+    multiple micro-batches. overlap > 0 ALSO appends the first `overlap`
+    rows of the next chunk to each file (the last wraps to chunk 0's
+    head) — real duplicate rows arriving in different micro-batches, the
+    streaming_dedup gate's input."""
     import shutil
     import tempfile
 
     import pandas as pd
     d = tempfile.mkdtemp(prefix="lidartree_stream_src_")
-    if n_files == 1:
+    if n_files == 1 and not overlap:
         shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
-    else:
-        pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
-        step = (len(pdf) + n_files - 1) // n_files
-        for i in range(n_files):
-            pdf.iloc[i * step:(i + 1) * step].to_parquet(
-                f"{d}/part-{i}.parquet", index=False)
+        return d
+    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
+    step = (len(pdf) + n_files - 1) // n_files
+    chunks = [pdf.iloc[i * step:(i + 1) * step] for i in range(n_files)]
+    for i, ch in enumerate(chunks):
+        if overlap:
+            ch = pd.concat([ch, chunks[(i + 1) % n_files].head(overlap)])
+        ch.to_parquet(f"{d}/part-{i}.parquet", index=False)
     return d
 
 
@@ -4296,26 +4302,6 @@ SELECT image_id, CAST(COUNT(*) AS BIGINT) AS n_trees,
 FROM sp GROUP BY image_id
 """
 
-def _stage_events_overlap(spark: SparkSession, sf_dir: str,
-                          n_files: int = 3, overlap: int = 50) -> str:
-    """Stage events as n_files parquet files where each file ALSO carries
-    the first `overlap` rows of the next chunk (file n-1 wraps to chunk
-    0's head) — real duplicate rows that arrive in DIFFERENT micro-batches
-    when streamed with maxFilesPerTrigger=1."""
-    import tempfile
-
-    import pandas as pd
-    d = tempfile.mkdtemp(prefix="lidartree_stream_dup_")
-    pdf = pd.read_parquet(f"{sf_dir}/events.parquet")
-    step = (len(pdf) + n_files - 1) // n_files
-    chunks = [pdf.iloc[i * step:(i + 1) * step] for i in range(n_files)]
-    for i, ch in enumerate(chunks):
-        dup = chunks[(i + 1) % n_files].head(overlap)
-        pd.concat([ch, dup]).to_parquet(f"{d}/part-{i}.parquet",
-                                        index=False)
-    return d
-
-
 def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exactly-once dedup (streaming/ops.dedup_stream): three
     micro-batches whose files OVERLAP (150 duplicate rows, each arriving
@@ -4326,7 +4312,7 @@ def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
     from lidartree_spark.streaming.ops import dedup_stream, stream_events
-    src = _stage_events_overlap(spark, sf_dir)
+    src = _stage_events(spark, sf_dir, n_files=3, overlap=50)
     name = "dd_" + uuid.uuid4().hex[:12]
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -4963,12 +4949,8 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lidartree_spark.operators.tokenize import (apply_bpe,
                                                     train_bpe_merges)
     words = [("abab", 16), ("abc", 8), ("cc", 4), ("dd", 3), ("de", 2)]
-    rows = []
-    for w, n in words:
-        rows.extend({"doc_id": len(rows) + k, "text": w}
-                    for k in range(n))
-    for i, r in enumerate(rows):
-        r["doc_id"] = i
+    rows = [{"doc_id": i, "text": w}
+            for i, w in enumerate(w for w, n in words for _ in range(n))]
     docs = spark.createDataFrame(pd.DataFrame(rows),
                                  schema="doc_id long, text string")
     merges = train_bpe_merges(docs, 6)

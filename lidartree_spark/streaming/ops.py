@@ -76,7 +76,8 @@ def windowed_event_stats(events: DataFrame, window: str = "6 hours",
 
 
 def dedup_stream(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
-                 watermark: str | None = None) -> DataFrame:
+                 watermark: str | None = None,
+                 time_col: str = "ts") -> DataFrame:
     """Streaming exactly-once deduplication: the seen-key set is STATE that
     carries across micro-batches, so a duplicate arriving in a later batch
     (a re-delivered Kafka record, a re-uploaded file) is dropped — which
@@ -84,9 +85,10 @@ def dedup_stream(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
     unbounded (exact; right for bounded backfills). For continuous
     pipelines pass a watermark: dropDuplicatesWithinWatermark bounds state
     to the late-data horizon, the only shape that survives an infinite
-    stream. Driver gate: queries.streaming_dedup."""
+    stream (`time_col` names the event-time column it bounds on).
+    Driver gate: queries.streaming_dedup."""
     if watermark is not None:
-        return (events.withWatermark("ts", watermark)
+        return (events.withWatermark(time_col, watermark)
                 .dropDuplicatesWithinWatermark(list(keys)))
     return events.dropDuplicates(list(keys))
 

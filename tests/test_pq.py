@@ -162,3 +162,65 @@ def test_pq_adc_recall_clustered(spark):
                   coarse_centroids=cen, nprobe=8, refine=8).collect()
     local = {i: vecs[i].astype(np.float64) for i in range(400)}
     assert _recall_at_10(got, local, 8) >= 0.9
+
+
+def test_pq_residual_with_zero_coarse_equals_plain(spark, emb):
+    """coarse = the single zero centroid makes every residual the vector
+    itself, so by_residual must reproduce the plain-ADC ranking exactly."""
+    import numpy as np
+
+    from lidartree_spark.operators.similarity import (pq_topk,
+                                                      train_pq_codebook)
+    book = train_pq_codebook(emb, m=4, ksub=8, iters=1, seed=151)
+    zero = np.zeros((1, 64))
+    plain = pq_topk(emb, emb.where("vec_id < 4"), k=5, codebook=book,
+                    coarse_centroids=zero, nprobe=1).collect()
+    resid = pq_topk(emb, emb.where("vec_id < 4"), k=5, codebook=book,
+                    coarse_centroids=zero, nprobe=1,
+                    by_residual=True).collect()
+    key = lambda r: (r.qid, r.rk, r.vec_id, r.adc)  # noqa: E731
+    assert sorted(map(key, plain)) == sorted(map(key, resid))
+
+
+def test_pq_residual_beats_global_on_clustered(spark):
+    """Classic IVF-PQ: when within-cluster variation has STRUCTURE (here
+    each vector = cluster center + one of 8 shared offsets + tiny noise —
+    pure isotropic residual noise is unquantizable by anything), the
+    residual-trained codebook captures it while a global 8-codeword-per-
+    subspace codebook must span centers x offsets and collapses — so
+    residual ADC recall@10 must beat global ADC recall."""
+    import pandas as pd
+
+    from lidartree_spark.operators.similarity import (pq_topk,
+                                                      train_centroids,
+                                                      train_pq_codebook)
+    rng = np.random.default_rng(41)
+    centers = rng.normal(scale=10.0, size=(8, 64))
+    offsets = rng.normal(scale=3.0, size=(8, 64))
+    idx = np.arange(400)
+    vecs = np.round(centers[idx % 8] + offsets[(idx // 8) % 8]
+                    + rng.normal(scale=0.05, size=(400, 64)), 3)
+    df = spark.createDataFrame(pd.DataFrame(
+        {"vec_id": idx, "embedding": [v.tolist() for v in vecs]}))
+    cen = train_centroids(df, n_centroids=8, iters=2, seed=131)
+    book_g = train_pq_codebook(df, m=4, ksub=8, iters=3, seed=151)
+    book_r = train_pq_codebook(df, m=4, ksub=8, iters=3, seed=151,
+                               coarse=cen)
+    local = {i: vecs[i].astype(np.float64) for i in range(400)}
+    got_g = pq_topk(df, df.where("vec_id < 8"), k=10, codebook=book_g,
+                    coarse_centroids=cen, nprobe=8).collect()
+    got_r = pq_topk(df, df.where("vec_id < 8"), k=10, codebook=book_r,
+                    coarse_centroids=cen, nprobe=8,
+                    by_residual=True).collect()
+    rg = _recall_at_10(got_g, local, 8)
+    rr = _recall_at_10(got_r, local, 8)
+    assert rr > rg, (rr, rg)
+    assert rr >= 0.45, rr
+
+
+def test_pq_by_residual_requires_coarse(spark, emb):
+    import pytest as _pytest
+
+    from lidartree_spark.operators.similarity import pq_topk
+    with _pytest.raises(ValueError):
+        pq_topk(emb, emb.where("vec_id < 2"), by_residual=True)
