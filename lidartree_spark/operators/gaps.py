@@ -95,11 +95,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     small-side-materialization tradeoff Catalyst makes for broadcast joins;
     the min-label result is identical because the component representative
     is the lexicographic min node either way."""
-    edges = (pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
-             .union(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
-             .distinct()
-             .persist())
+    raw = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
     if driver_threshold > 0:
+        edges = (raw.union(raw.select(F.col("v").alias("u"),
+                                      F.col("u").alias("v")))
+                 .distinct()
+                 .persist())
         sample = edges.limit(driver_threshold + 1).collect()
         if len(sample) <= driver_threshold:
             parent: dict[str, str] = {}
@@ -126,13 +127,59 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
             return pairs.sparkSession.createDataFrame(
                 pd.DataFrame([{"node": x, "comp": find(x)}
                               for x in sorted(nodes)]))
-    labels = (edges.select(F.col("u").alias("node")).distinct()
-              .withColumn("comp", F.col("node"))
+        edges.unpersist()
+    # Partition-local contraction: run a union-find over each partition's
+    # edge slice (memory-bounded by that partition's node count) and emit
+    # one (node, local-min-root) star edge per node. CC over the stars
+    # equals CC over the originals — each partition's spanning structure is
+    # preserved through its star — but every locally-connected subgraph
+    # collapses to depth 1, so the distributed loop below only has to
+    # resolve CROSS-partition chains: rounds drop from O(log diameter) to
+    # O(log #partitions-a-component-spans). This is the map-side-combine
+    # analog for graphs; at 10^12 tiles it also shrinks the loop's edge set
+    # from |E| to <= #distinct (node, partition) rows. The contraction maps
+    # over the RAW pair rows — union-find needs neither symmetrized nor
+    # deduped input — so no shuffle happens before it at all.
+    def _contract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:
+                parent[x], x = root, parent[x]
+            return root
+
+        seen: set[str] = set()
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                seen.add(u)
+                seen.add(v)
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+        if seen:
+            yield pd.DataFrame({"u": sorted(seen)}).assign(
+                v=lambda d: d["u"].map(find))
+
+    stars = raw.mapInPandas(_contract, "u string, v string").persist()
+    loop_edges = (stars.union(stars.select(F.col("v").alias("u"),
+                                           F.col("u").alias("v")))
+                  .distinct()
+                  .persist())
+    # seed labels from the stars themselves (a node split across partitions
+    # takes the min of its local roots): every locally-resolved component
+    # starts already converged, so the loop's first round is pure
+    # verification (changed == 0) unless a component spans partitions
+    labels = (stars.groupBy(F.col("u").alias("node"))
+              .agg(F.min("v").alias("comp"))
               .persist())
     labels.count()
     changed = 0
     for _ in range(max_iters):
-        neigh = (edges.join(labels.withColumnRenamed("node", "v")
+        neigh = (loop_edges.join(labels.withColumnRenamed("node", "v")
                             .withColumnRenamed("comp", "vcomp"), "v")
                  .groupBy("u").agg(F.min("vcomp").alias("ncomp"))
                  .withColumnRenamed("u", "node"))
@@ -144,13 +191,16 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
         # themselves on the representative), so convergence is
         # O(log diameter) instead of O(diameter) — a 10^6-tile corridor gap
         # resolves in ~20 rounds, not 10^6
+        # lazy checkpoint: lineage still truncates (no plan blow-up across
+        # rounds) but materialization happens inside the convergence count —
+        # one job per round instead of two
         new = (hop.join(hop.select(F.col("node").alias("comp"),
                                    F.col("comp").alias("jcomp")),
                         "comp", "left")
                .select("node",
                        F.least("comp", F.coalesce("jcomp", "comp"))
                        .alias("comp"))
-               .localCheckpoint(eager=True))
+               .localCheckpoint(eager=False))
         changed = (new.alias("n")
                    .join(labels.alias("o"), "node")
                    .where("n.comp != o.comp").count())
@@ -158,7 +208,8 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
         labels = new
         if changed == 0:
             break
-    edges.unpersist()
+    stars.unpersist()
+    loop_edges.unpersist()
     if changed != 0:
         import warnings
         warnings.warn(
