@@ -5436,6 +5436,232 @@ _EXTENDED["height_regression"] = (_height_regression_sql("spark"),
                                   _height_regression_sql("duck"))
 
 
+# --- exact substring-span dedup (extended set) ------------------------------
+# Inter-document duplicated-SPAN detection (the Lee et al. 2021
+# "Deduplicating Training Data" exact-substring operator) re-expressed
+# relationally: hash every W=4-token window, a window is duplicated when
+# its hash occurs in >= 2 distinct documents, and a token position is
+# contaminated when any duplicated window covers it. At 100 TB this is
+# one map-side window generation (narrow (doc, pos, md5) rows — the
+# inherent O(tokens) unit of work of substring dedup, NOT avoidable
+# row inflation) + one hash shuffle on the window hash; the coverage
+# explode fans out only the duplicated windows, x W. W=4 on the sf word
+# soup leaves 132/500 docs untouched, so the filter provably acts both
+# ways; real corpora use W~50 with the same plan.
+
+def _substr_dedup_sql(d: str) -> str:
+    w = 4
+    if d == "spark":
+        win = f"""
+  SELECT doc_id, n_tok, s, md5(array_join(slice(l, s, {w}), ' ')) AS h
+  FROM toks LATERAL VIEW explode(sequence(1, n_tok - {w} + 1)) t AS s"""
+        toks = f"""
+  SELECT doc_id, split(text, ' ') AS l, size(split(text, ' ')) AS n_tok
+  FROM documents WHERE size(split(text, ' ')) >= {w}"""
+        cov = f"""
+  SELECT doc_id, COUNT(DISTINCT p) AS n_cov
+  FROM dw LATERAL VIEW explode(sequence(s, s + {w} - 1)) t AS p
+  GROUP BY doc_id"""
+    else:
+        win = f"""
+  SELECT doc_id, n_tok, s,
+         md5(array_to_string(list_slice(l, s, s + {w} - 1), ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, n_tok - {w} + 1)) g(s)"""
+        toks = f"""
+  SELECT doc_id, string_split(text, ' ') AS l,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE len(string_split(text, ' ')) >= {w}"""
+        cov = f"""
+  SELECT doc_id, COUNT(DISTINCT p) AS n_cov
+  FROM dw, UNNEST(generate_series(s, s + {w} - 1)) g(p)
+  GROUP BY doc_id"""
+    return f"""
+WITH toks AS ({toks}),
+win AS ({win}),
+dup AS (
+  SELECT h FROM win GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dw AS (SELECT w.doc_id, w.s FROM win w JOIN dup d ON d.h = w.h),
+cov AS ({cov}),
+agg AS (
+  SELECT w.doc_id, MAX(w.n_tok) AS n_tok, COUNT(*) AS n_windows,
+         COUNT(d.h) AS n_dup
+  FROM win w LEFT JOIN dup d ON d.h = w.h
+  GROUP BY w.doc_id
+)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(a.n_windows AS BIGINT) AS n_windows,
+       CAST(a.n_dup AS BIGINT) AS n_dup_windows,
+       CAST(COALESCE(c.n_cov, 0) AS BIGINT) AS n_dup_tokens,
+       ROUND(COALESCE(c.n_cov, 0) / CAST(a.n_tok AS DOUBLE), 6) AS dup_frac
+FROM agg a LEFT JOIN cov c ON c.doc_id = a.doc_id
+"""
+
+
+_EXTENDED["substring_dedup"] = (_substr_dedup_sql("spark"),
+                                _substr_dedup_sql("duck"))
+
+
+# --- benchmark decontamination (extended set) -------------------------------
+# Eval-set contamination scan: the benchmark is 20 8-gram probes drawn
+# deterministically FROM the corpus itself (docs 0..19, offset
+# 1 + doc_id % (n_tok - 7)), so both engines derive identical ground
+# truth and every probe provably hits >= 1 document while most documents
+# stay clean — the flag acts both ways. The probe subset is a pushed-down
+# doc_id filter, NOT a global rank (an eval set is a designated small
+# input; ranking the whole corpus to pick 20 rows would be a global
+# sort). Plan shape at 100 TB: the probe set is tiny (broadcast), the
+# document side is one map-side window-hash projection, and the match is
+# a broadcast hash join — no shuffle of document data at all.
+
+def _decontaminate_sql(d: str) -> str:
+    w = 8
+    if d == "spark":
+        toks = f"""
+  SELECT doc_id, split(text, ' ') AS l, size(split(text, ' ')) AS n_tok
+  FROM documents WHERE size(split(text, ' ')) >= {w}"""
+        win = f"""
+  SELECT doc_id, md5(array_join(slice(l, s, {w}), ' ')) AS h
+  FROM toks LATERAL VIEW explode(sequence(1, n_tok - {w} + 1)) t AS s"""
+        probe = f"""
+  SELECT doc_id AS bench_id,
+         md5(array_join(slice(l,
+             CAST(1 + doc_id % (n_tok - {w} + 1) AS INT), {w}), ' ')) AS h
+  FROM toks WHERE doc_id < 20"""
+        hint = "/*+ BROADCAST(b) */ "
+    else:
+        toks = f"""
+  SELECT doc_id, string_split(text, ' ') AS l,
+         len(string_split(text, ' ')) AS n_tok
+  FROM documents WHERE len(string_split(text, ' ')) >= {w}"""
+        win = f"""
+  SELECT doc_id, md5(array_to_string(list_slice(l, s, s + {w} - 1), ' '))
+         AS h
+  FROM toks, UNNEST(generate_series(1, n_tok - {w} + 1)) g(s)"""
+        probe = f"""
+  SELECT doc_id AS bench_id,
+         md5(array_to_string(
+             list_slice(l, 1 + doc_id % (n_tok - {w} + 1),
+                        doc_id % (n_tok - {w} + 1) + {w}), ' ')) AS h
+  FROM toks WHERE doc_id < 20"""
+        hint = ""
+    return f"""
+WITH toks AS ({toks}),
+bench AS ({probe}),
+win AS ({win}),
+hits AS (
+  SELECT {hint}w.doc_id, COUNT(DISTINCT b.bench_id) AS n_hits
+  FROM win w JOIN bench b ON b.h = w.h
+  GROUP BY w.doc_id
+)
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_bench_hits,
+       CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM toks t LEFT JOIN hits h ON h.doc_id = t.doc_id
+"""
+
+
+_EXTENDED["decontaminate"] = (_decontaminate_sql("spark"),
+                              _decontaminate_sql("duck"))
+
+
+# --- sequence packing (extended set) ----------------------------------------
+# Context-window packing (the GPT-style concatenate-and-split step):
+# documents are laid head-to-tail in a deterministic md5-ranked stream
+# per language and cut into fixed B=128-token training sequences; each
+# doc reports the sequence it starts in and its offset there. One window
+# over (lang)-partitioned cumulative sums — per-stratum streams keep the
+# sort partition-local at 100 TB (no global total order), which is how
+# production packers shard the job.
+
+def _sequence_pack_sql(d: str) -> str:
+    b = 128
+    if d == "spark":
+        ntok, cast_t = "size(split(text, ' '))", "STRING"
+    else:
+        ntok, cast_t = "len(string_split(text, ' '))", "VARCHAR"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, lang, {ntok} AS n_tok FROM documents
+),
+ord AS (
+  SELECT doc_id, lang, n_tok,
+         SUM(n_tok) OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS {cast_t})), doc_id
+           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(FLOOR((cum - n_tok) / {b}.0) AS BIGINT) AS seq_id,
+       CAST((cum - n_tok) % {b} AS BIGINT) AS seq_offset
+FROM ord
+"""
+
+
+_EXTENDED["sequence_pack"] = (_sequence_pack_sql("spark"),
+                              _sequence_pack_sql("duck"))
+
+
+# --- hashed-feature linear quality classifier (extended set) ----------------
+# Model-based quality filtering (the fastText-classifier step of CCNet/
+# LLaMA-style pipelines) with a 64-bucket hashing-trick linear model
+# whose weights are a closed-form function of the bucket index
+# (w_j = (j * 2654435761) % 1024 - 512), so both engines own identical
+# coefficients and every sum is integer-exact in any order. The Spark
+# side scores each document in ONE per-row aggregate() higher-order
+# expression over the token array — a map-only plan, zero shuffle, the
+# shape a broadcast-coefficients classifier has at 100 TB; the DuckDB
+# oracle re-derives it by explode + GROUP BY.
+
+_HEX = "instr('0123456789abcdef', {c}) - 1"
+
+
+def _qc_weight(md5_expr: str, sub: str) -> str:
+    h1 = _HEX.format(c=f"{sub}({md5_expr}, 1, 1)")
+    h2 = _HEX.format(c=f"{sub}({md5_expr}, 2, 1)")
+    return (f"(((({h1}) * 16 + ({h2})) % 64) * 2654435761) % 1024 - 512")
+
+
+_QC_SPARK = f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(size(split(text, ' ')) AS BIGINT) AS n_words,
+       score_int,
+       ROUND(score_int / CAST(size(split(text, ' ')) AS DOUBLE), 6)
+           AS quality,
+       CAST(CASE WHEN score_int > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM (
+  SELECT doc_id, text,
+         aggregate(split(text, ' '), 0L,
+                   (acc, x) -> acc + ({_qc_weight('md5(x)', 'substring')}))
+             AS score_int
+  FROM documents) t
+"""
+
+_QC_DUCK = f"""
+WITH wd AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS x,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+sc AS (
+  SELECT doc_id, MAX(n_words) AS n_words,
+         SUM({_qc_weight('md5(x)', 'substr')}) AS score_int
+  FROM wd GROUP BY doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(score_int AS BIGINT) AS score_int,
+       ROUND(score_int / CAST(n_words AS DOUBLE), 6) AS quality,
+       CAST(CASE WHEN score_int > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM sc
+"""
+
+_EXTENDED["quality_classifier"] = (_QC_SPARK, _QC_DUCK)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SHARED.items():
