@@ -5662,6 +5662,113 @@ FROM sc
 _EXTENDED["quality_classifier"] = (_QC_SPARK, _QC_DUCK)
 
 
+# --- SemDeDup semantic dedup (extended set) ---------------------------------
+# The embedding-side near-dup DROP operator (Abbas et al. 2023): coarse
+# k-means cells bound the pairwise-cosine stage (the quadratic never
+# leaves a cell — at 10^12 vectors n_centroids grows with N and the plan
+# is unchanged), >= 0.95 pairs feed the REAL distributed
+# connected-components engine, min-id canonicals keep one copy. The gate
+# runs operators/similarity.semdedup in its oracle mode (iters=0 pins the
+# codebook to the md5-ranked init rows) over an integer-quantized corpus
+# of all 500 embeddings + 100 planted perturbed companions, so clusters
+# provably exist and most vectors stay singletons; every sum is a sum of
+# integer-valued doubles (exact in any order), so assignment distances,
+# cosines, and the 0.95 cut are bit-identical in both engines. DuckDB
+# re-derives init ranking, argmin cells, within-cell cosine pairs, and a
+# recursive-CTE transitive closure.
+
+_SEM_CORPUS_SPARK = """
+WITH orig AS (
+  SELECT vec_id AS id,
+         transform(sequence(1, 64),
+                   i -> CAST(ROUND(element_at(embedding, i) * 10000, 0)
+                             AS BIGINT)) AS v
+  FROM embeddings
+), pert AS (
+  SELECT id + 100000 AS id,
+         transform(sequence(1, 64),
+                   i -> element_at(v, i)
+                        + CAST(FLOOR(CAST(element_at(v, i % 64 + 1)
+                                          AS DOUBLE) / 10.0) AS BIGINT))
+             AS v
+  FROM orig WHERE orig.id < 100
+), corpus AS (SELECT * FROM orig UNION ALL SELECT * FROM pert)
+SELECT id, transform(v, x -> CAST(x AS DOUBLE)) AS embedding FROM corpus
+"""
+
+
+def _semdedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lidartree_spark.operators.similarity import semdedup
+
+    load_views(spark, sf_dir)
+    corpus = spark.sql(_SEM_CORPUS_SPARK)
+    return semdedup(corpus, n_centroids=8, threshold=0.95, iters=0,
+                    id_col="id", vec_col="embedding")
+
+
+_SEMDEDUP_DUCK = """
+WITH RECURSIVE orig AS (
+  SELECT vec_id AS id,
+         list_transform(range(1, 65),
+                        i -> CAST(CAST(ROUND(embedding[i] * 10000)
+                                       AS BIGINT) AS DOUBLE)) AS v
+  FROM embeddings
+), pert AS (
+  SELECT id + 100000 AS id,
+         list_transform(range(1, 65),
+                        i -> v[i] + CAST(FLOOR(v[i % 64 + 1] / 10.0)
+                                         AS BIGINT)) AS v
+  FROM orig WHERE orig.id < 100
+), corpus AS (SELECT * FROM orig UNION ALL SELECT * FROM pert),
+centh AS (
+  SELECT v, md5('131|' || CAST(id AS VARCHAR)) AS h
+  FROM corpus ORDER BY h LIMIT 8
+), cent AS (
+  SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY h) - 1 AS cid FROM centh
+), assign AS (
+  SELECT c.id, t.cid,
+         list_sum(list_transform(range(1, 65),
+                  i -> (c.v[i] - t.cv[i]) * (c.v[i] - t.cv[i]))) AS d2
+  FROM corpus c, cent t
+), best AS (
+  SELECT id, cid FROM (
+    SELECT id, cid,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+    FROM assign) r
+  WHERE rn = 1
+), pairs AS (
+  SELECT a.id AS ida, b.id AS idb
+  FROM best a JOIN best b ON a.cid = b.cid AND a.id < b.id
+  JOIN corpus x ON x.id = a.id
+  JOIN corpus y ON y.id = b.id
+  WHERE list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+        / (SQRT(list_sum(list_transform(x.v, e -> e * e)))
+           * SQRT(list_sum(list_transform(y.v, e -> e * e)))) >= 0.95
+), sym AS (
+  SELECT ida AS u, idb AS w FROM pairs UNION SELECT idb, ida FROM pairs
+  UNION SELECT ida, ida FROM pairs UNION SELECT idb, idb FROM pairs
+), cc AS (
+  SELECT u, w FROM sym
+  UNION
+  SELECT c.u, s.w FROM cc c JOIN sym s ON s.u = c.w
+), lab AS (
+  SELECT u AS id, MIN(w) AS canonical FROM cc GROUP BY u
+), allv AS (
+  SELECT b.id, CAST(b.cid AS BIGINT) AS cell,
+         COALESCE(l.canonical, b.id) AS canonical
+  FROM best b LEFT JOIN lab l ON l.id = b.id
+)
+SELECT CAST(id AS BIGINT) AS id, cell,
+       CAST(canonical AS BIGINT) AS canonical,
+       CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
+           AS cluster_size,
+       id = canonical AS keep
+FROM allv
+"""
+
+_EXTENDED["semdedup"] = (_semdedup_gate, _SEMDEDUP_DUCK)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SHARED.items():
