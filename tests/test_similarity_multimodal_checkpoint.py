@@ -455,3 +455,26 @@ def test_mp4_audio_trak_first_and_co64():
             off += size
     got64 = m.decode_mp4_mjpeg(bytes(fixed))
     assert np.array_equal(got64, ref)
+
+
+def test_semdedup_drops_same_cell_companions(spark, emb):
+    from lidartree_spark.operators.similarity import semdedup
+
+    # corpus = originals + exact copies shifted by +10000 in id: a copy is
+    # cosine-1.0 with its original and lands in the SAME cell, so semdedup
+    # must drop exactly one of each pair and keep every unpaired vector
+    base = emb.where("vec_id < 50").select("vec_id", "embedding")
+    copies = base.selectExpr("vec_id + 10000 AS vec_id", "embedding")
+    corpus = base.unionByName(copies)
+    out = semdedup(corpus, n_centroids=4, threshold=0.999).toPandas()
+    assert len(out) == 100
+    paired = out[out.cluster_size >= 2]
+    # every copy pairs with its original (identical vector -> same cell)
+    assert len(paired) == 100 and set(paired.id % 10000) == set(range(50))
+    # canonical is the min id, i.e. the original survives
+    kept = out[out.keep]
+    assert set(kept.id) == set(range(50))
+    # deterministic across runs
+    out2 = semdedup(corpus, n_centroids=4, threshold=0.999).toPandas()
+    assert out.sort_values("id").reset_index(drop=True).equals(
+        out2.sort_values("id").reset_index(drop=True))
