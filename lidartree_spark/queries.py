@@ -5769,6 +5769,196 @@ FROM allv
 _EXTENDED["semdedup"] = (_semdedup_gate, _SEMDEDUP_DUCK)
 
 
+# --- statistical text-selection filters: CCNet ppl + DSIR + tf-idf ----------
+# Three model-based data-selection operators over the documents corpus,
+# merged into one section-tagged driver gate (stat_filters); the standalone
+# variants live in _EXTENDED. All scores are quantize-then-sum integers:
+# each log term is rounded to the 1e-6 grid FIRST and summed as BIGINT, so
+# aggregation order cannot perturb one output bit in either engine (the
+# dem_filtering FIR policy applied to log-space model scores).
+#
+# 'ppl'   — CCNet-style LM filtering (Wenzek et al. 2020): a bigram LM with
+#           add-one smoothing is trained on a designated reference slice
+#           (lang='en'; the 100 TB shape — the model is a bounded, hence
+#           broadcastable, dim exactly like CCNet's Wikipedia KenLM), every
+#           document is scored by mean per-bigram cross-entropy, and the
+#           corpus is cut into head/middle/tail at the exact 33/67 RANK
+#           positions (integer compares rn*100 <= n*33 — no percentile
+#           interpolation, whose a+(b-a)*f float shape is not identical
+#           across engines). The rank window is global; at 100 TB the cut
+#           comes from percentile_approx on a sample with the same
+#           downstream CASE, the standard CCNet deployment.
+# 'dsir'  — Data Selection with Importance Resampling (Xie et al. 2023):
+#           hashed unigram features (the quality_classifier's 64 md5
+#           buckets), bucket weight = log p_target − log q_raw with add-one
+#           smoothing, per-document importance weight = integer sum of
+#           quantized bucket weights, top-25 selection via ORDER BY + LIMIT
+#           (TakeOrderedAndProject at scale — never a one-partition global
+#           window).
+# 'tfidf' — per-document top-3 keywords by tf·idf with idf quantized to
+#           integers (score = tf * qidf stays BIGINT-exact); deterministic
+#           lexicographic tie-break.
+#
+# Plan shape at 100 TB: tokenization is map-side; the LM / bucket-weight /
+# idf tables are all bounded (vocab, 64, vocab) -> broadcast joins; the only
+# corpus-sized shuffles are the per-doc aggregations on doc_id and one
+# bigram LEAD window per doc (Spark side), both keyed and combinable.
+
+def _stat_filters_sql(d: str, section: str | None = None) -> str:
+    if d == "spark":
+        base = """
+toks AS (
+  SELECT doc_id, lang, pos, w
+  FROM documents LATERAL VIEW posexplode(split(text, ' ')) t AS pos, w)"""
+        big = """
+big AS (
+  SELECT doc_id, lang, w,
+         LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1
+  FROM toks)"""
+        sub = "substring"
+    else:
+        base = """
+words AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS l FROM documents),
+toks AS (
+  SELECT doc_id, lang, i AS pos, l[i] AS w
+  FROM words, UNNEST(generate_series(1, len(l))) s(i))"""
+        big = """
+big AS (
+  SELECT doc_id, lang, l[i] AS w, l[i + 1] AS w1
+  FROM words, UNNEST(generate_series(1, len(l) - 1)) s(i))"""
+        sub = "substr"
+
+    # same 64-bucket md5 hashing trick as quality_classifier's features
+    h1 = _HEX.format(c=f"{sub}(md5(w), 1, 1)")
+    h2 = _HEX.format(c=f"{sub}(md5(w), 2, 1)")
+    bucket = f"((({h1}) * 16 + ({h2})) % 64)"
+
+    ppl = f"""
+runi AS (SELECT w, COUNT(*) AS ca FROM toks WHERE lang = 'en' GROUP BY w),
+rv AS (SELECT COUNT(*) AS v FROM runi),
+rbi AS (SELECT w, w1, COUNT(*) AS cab FROM big
+        WHERE lang = 'en' AND w1 IS NOT NULL GROUP BY w, w1),
+sc AS (
+  SELECT b.doc_id,
+         CAST(ROUND(1000000 * LN((COALESCE(rb.cab, 0) + 1.0)
+              / (COALESCE(ru.ca, 0) + (SELECT v FROM rv))), 0)
+              AS BIGINT) AS q
+  FROM big b
+  LEFT JOIN runi ru ON ru.w = b.w
+  LEFT JOIN rbi rb ON rb.w = b.w AND rb.w1 = b.w1
+  WHERE b.w1 IS NOT NULL),
+ppl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
+         CAST(SUM(q) AS BIGINT) AS sum_q
+  FROM sc GROUP BY doc_id),
+prk AS (
+  SELECT doc_id, n_bi, sum_q,
+         (0 - sum_q) / CAST(n_bi AS DOUBLE) / CAST(1000000 AS DOUBLE)
+             AS xent,
+         ROW_NUMBER() OVER (ORDER BY (0 - sum_q) / CAST(n_bi AS DOUBLE),
+                            doc_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM ppl),
+pplb AS (
+  SELECT doc_id, n_bi, sum_q, xent,
+         CASE WHEN rn * 100 <= n * 33 THEN 'head'
+              WHEN rn * 100 <= n * 67 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM prk)"""
+
+    dsir = f"""
+feats AS (
+  SELECT doc_id, lang, CAST({bucket} AS BIGINT) AS b FROM toks),
+tgt AS (SELECT b, COUNT(*) AS pc FROM feats WHERE lang = 'en' GROUP BY b),
+rawc AS (SELECT b, COUNT(*) AS qc FROM feats GROUP BY b),
+tots AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+                AS pt,
+                CAST(COUNT(*) AS BIGINT) AS qt
+         FROM feats),
+wts AS (
+  SELECT r.b,
+         CAST(ROUND(1000000 *
+              (LN((COALESCE(t.pc, 0) + 1.0) / ((SELECT pt FROM tots) + 64))
+               - LN((r.qc + 1.0) / ((SELECT qt FROM tots) + 64))), 0)
+              AS BIGINT) AS wq
+  FROM rawc r LEFT JOIN tgt t ON t.b = r.b),
+dw AS (
+  SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         CAST(SUM(x.wq) AS BIGINT) AS wt
+  FROM feats f JOIN wts x ON x.b = f.b
+  GROUP BY f.doc_id),
+dtop AS (SELECT doc_id, n_tok, wt FROM dw ORDER BY wt DESC, doc_id LIMIT 25),
+dsel AS (
+  SELECT doc_id, n_tok, wt,
+         CAST(ROW_NUMBER() OVER (ORDER BY wt DESC, doc_id) AS BIGINT) AS rk
+  FROM dtop)"""
+
+    tfidf = """
+tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM toks GROUP BY doc_id, w),
+df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+idf AS (SELECT w, CAST(ROUND(1000000 *
+                LN(((SELECT n FROM nd) + 1.0) / (df + 1.0)), 0)
+                AS BIGINT) AS qidf
+        FROM df),
+sct AS (SELECT t.doc_id, t.w, t.tf, t.tf * i.qidf AS score
+        FROM tf t JOIN idf i ON i.w = t.w),
+tk AS (SELECT doc_id, w, tf, score,
+              ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, w) AS rk
+       FROM sct),
+tfk AS (SELECT doc_id, CAST(rk AS BIGINT) AS rk, w, tf,
+               CAST(score AS BIGINT) AS score
+        FROM tk WHERE rk <= 3)"""
+
+    finals = {
+        "ppl": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bi AS n_bigrams,
+       sum_q AS sum_qlp, xent, bucket
+FROM pplb""",
+        "dsir": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tok, wt AS weight, rk
+FROM dsel""",
+        "tfidf": """
+SELECT CAST(doc_id AS BIGINT) AS doc_id, rk, w AS term, tf, score
+FROM tfk""",
+    }
+    if section == "ppl":
+        return "WITH " + ",".join([base, big, ppl]) + finals["ppl"]
+    if section == "dsir":
+        return "WITH " + ",".join([base, dsir]) + finals["dsir"]
+    if section == "tfidf":
+        return "WITH " + ",".join([base, tfidf]) + finals["tfidf"]
+    return "WITH " + ",".join([base, big, ppl, dsir, tfidf]) + """
+SELECT 'ppl' AS section, CAST(doc_id AS BIGINT) AS id, n_bi AS k1,
+       sum_q AS k2, xent AS x, bucket AS tag
+FROM pplb
+UNION ALL
+SELECT 'dsir', CAST(doc_id AS BIGINT), n_tok, wt, CAST(rk AS DOUBLE),
+       'selected'
+FROM dsel
+UNION ALL
+SELECT 'tfidf', CAST(doc_id AS BIGINT), rk, score, CAST(tf AS DOUBLE), w
+FROM tfk"""
+
+
+# driver-budget repack (round 3d): the merged stat_filters row pins all
+# three selection operators (and its tfidf section re-pins the per-group
+# top-k machinery), so the standalone token_topk gate yields its slot and
+# joins the extended set — 50 driver rows, unchanged.
+_DIALECT["stat_filters"] = (_stat_filters_sql("spark"),
+                            _stat_filters_sql("duck"))
+_EXTENDED["token_topk"] = _DIALECT.pop("token_topk")
+_EXTENDED["lm_perplexity"] = (_stat_filters_sql("spark", "ppl"),
+                              _stat_filters_sql("duck", "ppl"))
+_EXTENDED["dsir_select"] = (_stat_filters_sql("spark", "dsir"),
+                            _stat_filters_sql("duck", "dsir"))
+_EXTENDED["tfidf_keywords"] = (_stat_filters_sql("spark", "tfidf"),
+                               _stat_filters_sql("duck", "tfidf"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SHARED.items():
