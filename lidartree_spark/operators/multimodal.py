@@ -176,6 +176,33 @@ def image_features(media: DataFrame, resize_to: int = 16) -> DataFrame:
     return media.select(*cols).mapInPandas(run, schema=schema)
 
 
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """decode -> per-image pixel extrema/mean (float64 accumulators, so
+    dyadic-grid pixels stay EXACT through the reductions — the property the
+    caption_alignment DuckDB gate relies on). One mapInPandas pass; caption
+    parsing deliberately stays OUTSIDE this operator in Catalyst
+    (regexp_extract is JVM-side; only the codec needs Python)."""
+    schema = ("media_id string, n_px long, px_max double, px_mean double")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                img = decode_image_array(rec)
+                g = img.mean(axis=2, dtype=np.float64)
+                out.append({
+                    "media_id": rec.media_id,
+                    "n_px": int(g.size),
+                    "px_max": float(np.nanmax(g)),
+                    "px_mean": float(np.nanmean(g, dtype=np.float64)),
+                })
+            yield pd.DataFrame(out, columns=["media_id", "n_px", "px_max",
+                                             "px_mean"])
+
+    cols = ["media_id", "bytes", "fmt", "width", "height"]
+    return media.select(*cols).mapInPandas(run, schema=schema)
+
+
 def audio_frame_energy(media: DataFrame, frame: int = 1024,
                        hop: int = 512) -> DataFrame:
     """decode -> windowed RMS energy rows (one row per frame) — the UDTF

@@ -5769,6 +5769,79 @@ FROM allv
 _EXTENDED["semdedup"] = (_semdedup_gate, _SEMDEDUP_DUCK)
 
 
+# --- caption<->image alignment filtering (extended set) ---------------------
+# The cross-modal pair filter of image+caption pipelines (the CLIP-score
+# step of LAION-style dataset construction, re-expressed with a
+# deterministic alignment metric): decode the image with the REAL codec,
+# measure pixel stats, parse the caption's claimed stats in Catalyst
+# (regexp_extract — JVM-side), keep pairs whose claim matches the pixels.
+# The gate corpus is 24 real 16-bit PNGs over an analytic dyadic-grid field
+# (quarters + an integer spike 20+t, exact through encode/decode/float64
+# reductions) where odd tiles carry their PARTNER's caption — 12 keep / 12
+# drop, so the filter provably acts both ways; the DuckDB oracle re-derives
+# every value byte-free from the closed form. At 100 TB this is map-only:
+# one decode pass + a per-row regex, no shuffle at all.
+
+def _caption_align_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lidartree_spark.operators.multimodal import image_pixel_stats
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+        from lidartree_spark.codecs import encode_png_gray16
+        for pdf in batches:
+            rows = []
+            for t in pdf["id"].astype(int):
+                t = int(t)
+                i = np.arange(16, dtype=np.float32)[:, None]
+                j = np.arange(16, dtype=np.float32)[None, :]
+                chm = (i + 2 * j) * np.float32(0.25)
+                r, c = t % 16, (3 * t + 1) % 16
+                chm[r, c] = 20.0 + t
+                src = t if t % 2 == 0 else (t + 5) % 24
+                rows.append({
+                    "media_id": f"img{t:04d}",
+                    "bytes": encode_png_gray16(chm),
+                    "fmt": "png", "width": 16, "height": 16,
+                    "caption": (f"synthetic canopy tile img{src:04d} "
+                                f"peak {20 + src}.0 m"),
+                })
+            yield pd.DataFrame(rows, columns=["media_id", "bytes", "fmt",
+                                              "width", "height", "caption"])
+
+    schema = ("media_id string, bytes binary, fmt string, width int, "
+              "height int, caption string")
+    corpus = spark.range(0, 24, 1, 4).mapInPandas(gen, schema=schema)
+    stats = image_pixel_stats(corpus)
+    cap = corpus.select(
+        "media_id",
+        F.regexp_extract("caption", r"peak (\d+\.0) m", 1)
+         .cast("double").alias("claimed_peak"))
+    diff = F.abs(F.col("claimed_peak") - F.col("px_max"))
+    return stats.join(cap, "media_id").select(
+        "media_id", "n_px", "px_max", "px_mean", "claimed_peak",
+        diff.alias("align_diff"), (diff <= F.lit(0.5)).alias("keep"))
+
+
+_CAPTION_ALIGN_DUCK = """
+WITH s AS (SELECT i AS t FROM range(0, 24) r(i)),
+v AS (
+  SELECT t, t % 16 AS r, (3 * t + 1) % 16 AS c,
+         CASE WHEN t % 2 = 0 THEN t ELSE (t + 5) % 24 END AS src
+  FROM s)
+SELECT printf('img%04d', t) AS media_id,
+       CAST(256 AS BIGINT) AS n_px,
+       CAST(20 + t AS DOUBLE) AS px_max,
+       (1440.0 - (r + 2 * c) * 0.25 + (20 + t)) / 256.0 AS px_mean,
+       CAST(20 + src AS DOUBLE) AS claimed_peak,
+       ABS(CAST(20 + src AS DOUBLE) - (20 + t)) AS align_diff,
+       ABS(CAST(20 + src AS DOUBLE) - (20 + t)) <= 0.5 AS keep
+FROM v
+"""
+
+_EXTENDED["caption_alignment"] = (_caption_align_gate, _CAPTION_ALIGN_DUCK)
+
+
 # --- statistical text-selection filters: CCNet ppl + DSIR + tf-idf ----------
 # Three model-based data-selection operators over the documents corpus,
 # merged into one section-tagged driver gate (stat_filters); the standalone
