@@ -5769,6 +5769,50 @@ FROM allv
 _EXTENDED["semdedup"] = (_semdedup_gate, _SEMDEDUP_DUCK)
 
 
+# --- aspect-ratio bucketed image batch packing (extended set) ---------------
+# The image-side twin of sequence_pack: vision-training batch prep
+# (NaViT / SDXL-style aspect bucketing) packs images into fixed
+# pixel-budget batches WITHIN an aspect class, so a batch never mixes
+# orientations. Buckets come from integer cross-multiplication (4w<=3h
+# tall, 4h<=3w wide — no float ratios), order within a bucket is the
+# md5-ranked rerun-stable stream, and the pack is ONE partitioned
+# cumulative-sum window — no global total order at any corpus size.
+# Dimensions derive deterministically from doc_id so both engines own
+# identical ground truth; every output is BIGINT-exact.
+
+def _image_pack_sql(d: str) -> str:
+    cast_t = "STRING" if d == "spark" else "VARCHAR"
+    return f"""
+WITH imgs AS (
+  SELECT doc_id AS image_id,
+         64 + ((doc_id * 37) % 9) * 32 AS w,
+         64 + ((doc_id * 53) % 9) * 32 AS h
+  FROM documents),
+cls AS (
+  SELECT image_id, w, h, w * h AS px,
+         CASE WHEN 4 * w <= 3 * h THEN 'tall'
+              WHEN 4 * h <= 3 * w THEN 'wide'
+              ELSE 'square' END AS bucket
+  FROM imgs),
+cum AS (
+  SELECT image_id, bucket, w, h, px,
+         SUM(px) OVER (PARTITION BY bucket
+                       ORDER BY md5(CAST(image_id AS {cast_t})), image_id
+                       ROWS UNBOUNDED PRECEDING) AS cpx
+  FROM cls)
+SELECT CAST(image_id AS BIGINT) AS image_id, bucket,
+       CAST(w AS BIGINT) AS w, CAST(h AS BIGINT) AS h,
+       CAST(px AS BIGINT) AS px,
+       CAST(FLOOR((cpx - px) / CAST(400000 AS DOUBLE)) AS BIGINT)
+           AS batch_id,
+       CAST((cpx - px) % 400000 AS BIGINT) AS px_offset
+FROM cum
+"""
+
+
+_EXTENDED["image_pack"] = (_image_pack_sql("spark"), _image_pack_sql("duck"))
+
+
 # --- caption<->image alignment filtering (extended set) ---------------------
 # The cross-modal pair filter of image+caption pipelines (the CLIP-score
 # step of LAION-style dataset construction, re-expressed with a
