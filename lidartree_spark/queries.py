@@ -4731,14 +4731,11 @@ _EXTENDED["multimodal_video_stats"] = (_video_stats, _VIDEO_STATS_DUCK)
 # land at <= 7 plus one accidental cross-base collision, so the Hamming
 # filter provably rejects AND accepts on this corpus.
 
-def _phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG decode -> integer-DCT pHash -> banded-LSH pair join
-    (operators/multimodal.image_phash + phash_neardup_pairs) on an
-    analytic corpus DuckDB re-derives from first principles."""
+def _phash_media(spark: SparkSession) -> DataFrame:
+    """The 48-image analytic pHash corpus (24 base/perturbed PNG pairs
+    straddling the Hamming threshold) shared by the phash_neardup driver
+    gate and the image_dedup_clusters composite."""
     import pandas as pd
-
-    from lidartree_spark.operators.multimodal import (image_phash,
-                                                      phash_neardup_pairs)
 
     def gen(batches):
         import numpy as np
@@ -4761,9 +4758,19 @@ def _phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=["media_id", "bytes", "fmt",
                                              "width", "height"])
 
-    media = spark.range(48).repartition(8).mapInPandas(
+    return spark.range(48).repartition(8).mapInPandas(
         gen, schema=("media_id string, bytes binary, fmt string, "
                      "width int, height int"))
+
+
+def _phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode -> integer-DCT pHash -> banded-LSH pair join
+    (operators/multimodal.image_phash + phash_neardup_pairs) on an
+    analytic corpus DuckDB re-derives from first principles."""
+    from lidartree_spark.operators.multimodal import (image_phash,
+                                                      phash_neardup_pairs)
+
+    media = _phash_media(spark)
     hashes = image_phash(media)
     pairs = phash_neardup_pairs(hashes, max_hamming=7)
     hrows = hashes.select(
@@ -4841,6 +4848,67 @@ WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 7
 # minhash_lsh + ngram_jaccard into text_neardup); the standalone text
 # pair-finders stay verified in the extended set.
 _DIALECT["phash_neardup"] = (_phash_neardup, _PHASH_ND_DUCK)
+
+
+# --- image near-dup clustering + canonical selection (extended set) ---------
+# The image-side twin of dedup_clusters: pHash banded-LSH pairs feed the
+# REAL distributed connected-components operator, then keep-one-per-cluster.
+# Singletons survive with themselves as canonical (left join, like
+# semdedup). Oracle = the phash_neardup CTE chain extended with a
+# recursive-CTE transitive closure.
+
+def _image_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lidartree_spark.operators.gaps import connected_components
+    from lidartree_spark.operators.multimodal import (image_phash,
+                                                      phash_neardup_pairs)
+
+    hashes = image_phash(_phash_media(spark))
+    pairs = phash_neardup_pairs(hashes, max_hamming=7)
+    # full-int64 zero-pad: lexicographic min-label == numeric min
+    edges = pairs.selectExpr("lpad(media_a, 19, '0') AS a",
+                             "lpad(media_b, 19, '0') AS b")
+    lab = connected_components(edges).selectExpr(
+        "CAST(node AS BIGINT) AS media_id",
+        "CAST(comp AS BIGINT) AS canonical")
+    base = hashes.select(F.col("media_id").cast("long").alias("media_id"))
+    allv = base.join(lab, "media_id", "left").select(
+        "media_id", F.coalesce("canonical", "media_id").alias("canonical"))
+    w = Window.partitionBy("canonical")
+    return allv.select(
+        "media_id", "canonical",
+        F.count("*").over(w).cast("long").alias("cluster_size"),
+        (F.col("media_id") == F.col("canonical")).alias("keep"))
+
+
+_PHASH_CTES = _PHASH_ND_DUCK.split("\nSELECT 'hash'")[0]
+
+_IMG_DEDUP_DUCK = _PHASH_CTES.replace("WITH px", "WITH RECURSIVE px") + """,
+pr AS (
+  SELECT ia, ib FROM cand
+  WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 7
+), sym AS (
+  SELECT ia AS u, ib AS w FROM pr UNION SELECT ib, ia FROM pr
+  UNION SELECT ia, ia FROM pr UNION SELECT ib, ib FROM pr
+), cc AS (
+  SELECT u, w FROM sym
+  UNION
+  SELECT c.u, s.w FROM cc c JOIN sym s ON s.u = c.w
+), lab AS (
+  SELECT u AS i, MIN(w) AS canonical FROM cc GROUP BY u
+), allv AS (
+  SELECT h.i, COALESCE(l.canonical, h.i) AS canonical
+  FROM hash h LEFT JOIN lab l ON l.i = h.i
+)
+SELECT CAST(i AS BIGINT) AS media_id, CAST(canonical AS BIGINT) AS canonical,
+       CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
+           AS cluster_size,
+       i = canonical AS keep
+FROM allv
+"""
+
+_EXTENDED["image_dedup_clusters"] = (_image_dedup_gate, _IMG_DEDUP_DUCK)
 _EXTENDED["minhash_lsh"] = (_minhash_sql(_SHINGLES_SPARK, "spark"),
                             _minhash_sql(_SHINGLES_DUCK, "duck")
                             .replace("AS STRING", "AS VARCHAR"))
