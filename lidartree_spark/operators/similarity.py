@@ -540,18 +540,22 @@ def semdedup(embeddings: DataFrame, n_centroids: int = 8,
     vecs = embeddings.select(F.col(id_col).alias("id"),
                              F.col(vec_col).alias("v"))
     withv = cells.join(vecs, "id")
-    a = withv.select(F.col("id").alias("ida"), "cid",
-                     F.col("v").alias("va"))
-    b = withv.select(F.col("id").alias("idb"), "cid",
-                     F.col("v").alias("vb"))
+    # hoist ||v||^2 out of the pairwise stage: the interpreted higher-order
+    # lambdas are the per-pair cost, and computing the norm once per VECTOR
+    # instead of once per PAIR removes 2 of the 3 aggregates from the
+    # quadratic stage (same doubles — sqrt(na)*sqrt(nb) is unchanged)
+    nv = F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0),
+                     lambda acc, t: acc + t)
+    withn = withv.withColumn("nv", nv)
+    a = withn.select(F.col("id").alias("ida"), "cid",
+                     F.col("v").alias("va"), F.col("nv").alias("na"))
+    b = withn.select(F.col("id").alias("idb"), "cid",
+                     F.col("v").alias("vb"), F.col("nv").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, t: acc + t)
-    na = F.aggregate(F.transform("va", lambda x: x * x), F.lit(0.0),
-                     lambda acc, t: acc + t)
-    nb = F.aggregate(F.transform("vb", lambda x: x * x), F.lit(0.0),
-                     lambda acc, t: acc + t)
     pairs = (a.join(b, "cid").where(F.col("ida") < F.col("idb"))
-             .withColumn("cosine", dot / (F.sqrt(na) * F.sqrt(nb)))
+             .withColumn("cosine",
+                         dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))))
              .where(F.col("cosine") >= F.lit(threshold)))
     # full-int64 zero-pad: the CC engine's lexicographic min-label must
     # equal numeric min for any id
