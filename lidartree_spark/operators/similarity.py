@@ -561,7 +561,12 @@ def semdedup(embeddings: DataFrame, n_centroids: int = 8,
     # equal numeric min for any id
     edges = pairs.selectExpr("lpad(CAST(ida AS STRING), 19, '0') AS a",
                              "lpad(CAST(idb AS STRING), 19, '0') AS b")
-    comps = connected_components(edges).selectExpr(
+    # hybrid CC: near-dup edge sets are usually tiny relative to the corpus
+    # (the >= threshold filter is sharp), so the driver union-find resolves
+    # them in one job; past 2M edges the distributed pointer-jumping loop
+    # takes over with the identical min-label result
+    comps = connected_components(edges,
+                                 driver_threshold=2_000_000).selectExpr(
         "CAST(node AS BIGINT) AS id", "CAST(comp AS BIGINT) AS canonical")
     out = (withv.select("id", F.col("cid").cast("long").alias("cell"))
            .join(comps, "id", "left")

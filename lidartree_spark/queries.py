@@ -4469,8 +4469,9 @@ def _training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-int64 zero-pad: lexicographic min-label == numeric min
     edges = pairs.selectExpr("lpad(CAST(doc_a AS STRING), 19, '0') AS a",
                              "lpad(CAST(doc_b AS STRING), 19, '0') AS b")
-    lab = connected_components(edges).selectExpr(
-        "CAST(node AS BIGINT) AS m_doc", "CAST(comp AS BIGINT) AS canonical")
+    lab = connected_components(edges, driver_threshold=2_000_000) \
+        .selectExpr("CAST(node AS BIGINT) AS m_doc",
+                    "CAST(comp AS BIGINT) AS canonical")
     sizes = lab.groupBy("canonical").agg(F.count("*").alias("csz"))
     lab = lab.join(sizes, "canonical")
     kept = (surv.join(lab, surv.doc_id == lab.m_doc, "left")
@@ -4869,9 +4870,9 @@ def _image_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full-int64 zero-pad: lexicographic min-label == numeric min
     edges = pairs.selectExpr("lpad(media_a, 19, '0') AS a",
                              "lpad(media_b, 19, '0') AS b")
-    lab = connected_components(edges).selectExpr(
-        "CAST(node AS BIGINT) AS media_id",
-        "CAST(comp AS BIGINT) AS canonical")
+    lab = connected_components(edges, driver_threshold=2_000_000) \
+        .selectExpr("CAST(node AS BIGINT) AS media_id",
+                    "CAST(comp AS BIGINT) AS canonical")
     base = hashes.select(F.col("media_id").cast("long").alias("media_id"))
     allv = base.join(lab, "media_id", "left").select(
         "media_id", F.coalesce("canonical", "media_id").alias("canonical"))
