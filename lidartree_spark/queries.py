@@ -5955,6 +5955,73 @@ FROM v
 _EXTENDED["caption_alignment"] = (_caption_align_gate, _CAPTION_ALIGN_DUCK)
 
 
+# --- C4 cleaning heuristics (extended set) ----------------------------------
+# The named C4 pipeline rules (Raffel et al. 2019, "Exploring the Limits
+# of Transfer Learning..." §2.2): keep lines with >= 5 words ending in
+# terminal punctuation; drop pages containing '{' or 'lorem ipsum'; drop
+# pages with < 3 retained sentences. Same design as pii_scan: the corpus
+# is PLANTED in-query with residue-coded line composition, the Spark side
+# runs the REAL line split/explode/filter, and the DuckDB oracle derives
+# every count closed-form from i's residues — pinning Spark's actual
+# string behavior against ground truth. Map-side scan family at 100 TB
+# (per-doc explode + grouped count, no cross-document joins); 32/120
+# planted docs keep, so every rule provably acts both ways.
+
+_C4_SPARK = """
+WITH ids AS (SELECT id AS i FROM range(0, 120)),
+doc AS (
+  SELECT i, concat(
+    'the quick brown fox jumps over the lazy dog.', '\\n',
+    'no terminal punctuation on this line', '\\n',
+    'too short.', '\\n',
+    'another perfectly reasonable sentence appears right here.',
+    CASE WHEN i % 2 = 0
+         THEN concat('\\n', 'a third good sentence with plenty of words.')
+         ELSE '' END,
+    CASE WHEN i % 3 = 0
+         THEN concat('\\n', 'var x = { broken: code };') ELSE '' END,
+    CASE WHEN i % 5 = 0
+         THEN concat('\\n', 'this page contains lorem ipsum text sadly.')
+         ELSE '' END) AS text
+  FROM ids),
+lr AS (
+  SELECT i,
+         CASE WHEN size(split(line, ' ')) >= 5
+                   AND right(line, 1) IN ('.', '!', '?') THEN 1
+              ELSE 0 END AS kept
+  FROM doc LATERAL VIEW explode(split(text, '\\n')) t AS line),
+agg AS (
+  SELECT i, COUNT(*) AS n_lines, SUM(kept) AS n_kept FROM lr GROUP BY i),
+flags AS (
+  SELECT i, instr(text, '{') > 0 AS has_brace,
+         instr(text, 'lorem ipsum') > 0 AS has_lorem
+  FROM doc)
+SELECT CAST(a.i AS BIGINT) AS did,
+       CAST(a.n_lines AS BIGINT) AS n_lines,
+       CAST(a.n_kept AS BIGINT) AS n_kept_lines,
+       f.has_brace, f.has_lorem,
+       (NOT f.has_brace AND NOT f.has_lorem AND a.n_kept >= 3) AS keep
+FROM agg a JOIN flags f ON f.i = a.i
+"""
+
+_C4_DUCK = """
+WITH ids AS (SELECT i FROM UNNEST(generate_series(0, 119)) g(i))
+SELECT CAST(i AS BIGINT) AS did,
+       CAST(4 + CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_lines,
+       CAST(2 + CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END
+              + CASE WHEN i % 5 = 0 THEN 1 ELSE 0 END AS BIGINT)
+           AS n_kept_lines,
+       i % 3 = 0 AS has_brace,
+       i % 5 = 0 AS has_lorem,
+       (i % 2 = 0 AND i % 3 <> 0 AND i % 5 <> 0) AS keep
+FROM ids
+"""
+
+_EXTENDED["c4_heuristics"] = (_C4_SPARK, _C4_DUCK)
+
+
 # --- statistical text-selection filters: CCNet ppl + DSIR + tf-idf ----------
 # Three model-based data-selection operators over the documents corpus,
 # merged into one section-tagged driver gate (stat_filters); the standalone
