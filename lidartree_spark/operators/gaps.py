@@ -89,9 +89,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     driver-side union-find), which is what survives 10^12 tiles where the
     edge set itself can be billions of rows. Returns (node, comp).
 
-    driver_threshold > 0 enables a hybrid: if the (deduped) edge count is
-    below it, the edges are collected and resolved with a driver-side
-    union-find — one job instead of O(diameter) rounds. The same
+    driver_threshold > 0 enables a hybrid: if the (deduped, SYMMETRIZED)
+    edge-row count is below it — i.e. up to ~threshold/2 undirected input
+    pairs — the edges are collected and resolved with a driver-side
+    union-find: one job instead of O(diameter) rounds. The same
     small-side-materialization tradeoff Catalyst makes for broadcast joins;
     the min-label result is identical because the component representative
     is the lexicographic min node either way."""
@@ -218,6 +219,22 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
             "iteration budget would be split; raise max_iters",
             RuntimeWarning, stacklevel=2)
     return labels
+
+
+def cc_min_labels(pairs: DataFrame, a_col: str, b_col: str,
+                  driver_threshold: int = 0) -> DataFrame:
+    """Numeric-id front end for connected_components: zero-pads both id
+    columns to full-int64 width (19 digits) so the engine's lexicographic
+    min-label equals the numeric min for ANY id, runs CC, and casts back.
+    Returns (node BIGINT, comp BIGINT) — comp is the numeric-min member of
+    each component. driver_threshold passes through to the hybrid (counted
+    in symmetrized edge rows, ~2x the undirected pair count)."""
+    edges = pairs.selectExpr(
+        f"lpad(CAST({a_col} AS STRING), 19, '0') AS a",
+        f"lpad(CAST({b_col} AS STRING), 19, '0') AS b")
+    return connected_components(
+        edges, driver_threshold=driver_threshold).selectExpr(
+        "CAST(node AS BIGINT) AS node", "CAST(comp AS BIGINT) AS comp")
 
 
 def detect_gaps_global(tiles: DataFrame, params: dict | None = None,

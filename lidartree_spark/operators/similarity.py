@@ -528,7 +528,7 @@ def semdedup(embeddings: DataFrame, n_centroids: int = 8,
     iters>0 runs Lloyd passes for better cells. Returns one row per input
     vector: (id, cell, canonical, cluster_size, keep).
     """
-    from lidartree_spark.operators.gaps import connected_components
+    from lidartree_spark.operators.gaps import cc_min_labels
 
     if centroids is None:
         centroids = (train_centroids(embeddings, n_centroids, iters,
@@ -557,17 +557,14 @@ def semdedup(embeddings: DataFrame, n_centroids: int = 8,
              .withColumn("cosine",
                          dot / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))))
              .where(F.col("cosine") >= F.lit(threshold)))
-    # full-int64 zero-pad: the CC engine's lexicographic min-label must
-    # equal numeric min for any id
-    edges = pairs.selectExpr("lpad(CAST(ida AS STRING), 19, '0') AS a",
-                             "lpad(CAST(idb AS STRING), 19, '0') AS b")
     # hybrid CC: near-dup edge sets are usually tiny relative to the corpus
     # (the >= threshold filter is sharp), so the driver union-find resolves
-    # them in one job; past 2M edges the distributed pointer-jumping loop
-    # takes over with the identical min-label result
-    comps = connected_components(edges,
-                                 driver_threshold=2_000_000).selectExpr(
-        "CAST(node AS BIGINT) AS id", "CAST(comp AS BIGINT) AS canonical")
+    # them in one job; past 2M symmetrized edge rows (~1M undirected pairs)
+    # the distributed pointer-jumping loop takes over with the identical
+    # min-label result
+    comps = cc_min_labels(pairs, "ida", "idb",
+                          driver_threshold=2_000_000).selectExpr(
+        "node AS id", "comp AS canonical")
     out = (withv.select("id", F.col("cid").cast("long").alias("cell"))
            .join(comps, "id", "left")
            .withColumn("canonical",

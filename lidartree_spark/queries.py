@@ -3287,18 +3287,15 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (_dedup_clusters_duck)."""
     from pyspark.sql import Window
 
-    from lidartree_spark.operators.gaps import connected_components
+    from lidartree_spark.operators.gaps import cc_min_labels
 
     load_views(spark, sf_dir)
     pairs = (spark.sql(_minhash_sql(_SHINGLES_SPARK, "spark"))
              .where("shared_bands >= 2"))
-    # pad to full-int64 width (19 digits): lexicographic MIN on the padded
-    # strings must equal numeric MIN for ANY doc_id, not just < 10^8
-    edges = pairs.selectExpr("lpad(CAST(doc_a AS STRING), 19, '0') AS a",
-                             "lpad(CAST(doc_b AS STRING), 19, '0') AS b")
-    comps = connected_components(edges)
-    lab = comps.selectExpr("CAST(node AS BIGINT) AS doc_id",
-                           "CAST(comp AS BIGINT) AS canonical")
+    # NO driver_threshold here on purpose: this driver gate is the one
+    # that exercises the pure distributed pointer-jumping loop end to end
+    lab = cc_min_labels(pairs, "doc_a", "doc_b").selectExpr(
+        "node AS doc_id", "comp AS canonical")
     w = Window.partitionBy("canonical")
     return lab.select(
         "doc_id", "canonical",
@@ -4459,19 +4456,16 @@ def _training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure standing in for the distributed CC."""
     from pyspark.sql import Window
 
-    from lidartree_spark.operators.gaps import connected_components
+    from lidartree_spark.operators.gaps import cc_min_labels
 
     load_views(spark, sf_dir)
     surv = spark.sql(f"SELECT * FROM ({_TD_EXACT}) s")
     surv.createOrReplaceTempView("td_exact")
     pairs = (spark.sql(_minhash_sql(_td_shingles("spark"), "spark"))
              .where("shared_bands >= 2"))
-    # full-int64 zero-pad: lexicographic min-label == numeric min
-    edges = pairs.selectExpr("lpad(CAST(doc_a AS STRING), 19, '0') AS a",
-                             "lpad(CAST(doc_b AS STRING), 19, '0') AS b")
-    lab = connected_components(edges, driver_threshold=2_000_000) \
-        .selectExpr("CAST(node AS BIGINT) AS m_doc",
-                    "CAST(comp AS BIGINT) AS canonical")
+    lab = cc_min_labels(pairs, "doc_a", "doc_b",
+                        driver_threshold=2_000_000).selectExpr(
+        "node AS m_doc", "comp AS canonical")
     sizes = lab.groupBy("canonical").agg(F.count("*").alias("csz"))
     lab = lab.join(sizes, "canonical")
     kept = (surv.join(lab, surv.doc_id == lab.m_doc, "left")
@@ -4787,8 +4781,10 @@ def _phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hrows.unionByName(prows)
 
 
-_PHASH_ND_DUCK = """
-WITH px AS (
+# the CTE chain (pixels -> integer DCT -> median -> hash bits -> LSH
+# bands -> candidate pairs) is shared by BOTH phash oracles below; the
+# WITH/WITH RECURSIVE keyword is supplied by each consumer
+_PHASH_CTES = """px AS (
   SELECT i, x, y,
          200 + (((i - (i % 2)) * 53 + x * 17) % 29)
              * ((y * 13 + (i - (i % 2)) * 7) % 23)
@@ -4834,7 +4830,9 @@ WITH px AS (
   SELECT DISTINCT l.i AS ia, r.i AS ib, l.h AS ha, r.h AS hb
   FROM bands l JOIN bands r
     ON l.b = r.b AND l.band_val = r.band_val AND l.i < r.i
-)
+)"""
+
+_PHASH_ND_DUCK = "WITH " + _PHASH_CTES + """
 SELECT 'hash' AS section, CAST(i AS BIGINT) AS a,
        CAST(-1 AS BIGINT) AS b, h AS val
 FROM hash
@@ -4861,18 +4859,15 @@ _DIALECT["phash_neardup"] = (_phash_neardup, _PHASH_ND_DUCK)
 def _image_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from lidartree_spark.operators.gaps import connected_components
+    from lidartree_spark.operators.gaps import cc_min_labels
     from lidartree_spark.operators.multimodal import (image_phash,
                                                       phash_neardup_pairs)
 
     hashes = image_phash(_phash_media(spark))
     pairs = phash_neardup_pairs(hashes, max_hamming=7)
-    # full-int64 zero-pad: lexicographic min-label == numeric min
-    edges = pairs.selectExpr("lpad(media_a, 19, '0') AS a",
-                             "lpad(media_b, 19, '0') AS b")
-    lab = connected_components(edges, driver_threshold=2_000_000) \
-        .selectExpr("CAST(node AS BIGINT) AS media_id",
-                    "CAST(comp AS BIGINT) AS canonical")
+    lab = cc_min_labels(pairs, "media_a", "media_b",
+                        driver_threshold=2_000_000).selectExpr(
+        "node AS media_id", "comp AS canonical")
     base = hashes.select(F.col("media_id").cast("long").alias("media_id"))
     allv = base.join(lab, "media_id", "left").select(
         "media_id", F.coalesce("canonical", "media_id").alias("canonical"))
@@ -4883,9 +4878,7 @@ def _image_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("media_id") == F.col("canonical")).alias("keep"))
 
 
-_PHASH_CTES = _PHASH_ND_DUCK.split("\nSELECT 'hash'")[0]
-
-_IMG_DEDUP_DUCK = _PHASH_CTES.replace("WITH px", "WITH RECURSIVE px") + """,
+_IMG_DEDUP_DUCK = "WITH RECURSIVE " + _PHASH_CTES + """,
 pr AS (
   SELECT ia, ib FROM cand
   WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 7
@@ -6026,7 +6019,11 @@ _EXTENDED["c4_heuristics"] = (_C4_SPARK, _C4_DUCK)
 # Three model-based data-selection operators over the documents corpus,
 # merged into one section-tagged driver gate (stat_filters); the standalone
 # variants live in _EXTENDED. All scores are quantize-then-sum integers:
-# each log term is rounded to the 1e-6 grid FIRST and summed as BIGINT, so
+# each log term is rounded to the 1e-4 grid FIRST and summed as BIGINT
+# (coarse on purpose: the LN inputs are engine-computed transcendentals,
+# and the odds of a 1-ulp libm disagreement landing on a rounding
+# boundary scale with the grid density — 1e4 buys a 100x margin over
+# 1e6 while keeping full ranking resolution), so
 # aggregation order cannot perturb one output bit in either engine (the
 # dem_filtering FIR policy applied to log-space model scores).
 #
@@ -6094,7 +6091,7 @@ rbi AS (SELECT w, w1, COUNT(*) AS cab FROM big
         WHERE lang = 'en' AND w1 IS NOT NULL GROUP BY w, w1),
 sc AS (
   SELECT b.doc_id,
-         CAST(ROUND(1000000 * LN((COALESCE(rb.cab, 0) + 1.0)
+         CAST(ROUND(10000 * LN((COALESCE(rb.cab, 0) + 1.0)
               / (COALESCE(ru.ca, 0) + (SELECT v FROM rv))), 0)
               AS BIGINT) AS q
   FROM big b
@@ -6107,7 +6104,7 @@ ppl AS (
   FROM sc GROUP BY doc_id),
 prk AS (
   SELECT doc_id, n_bi, sum_q,
-         (0 - sum_q) / CAST(n_bi AS DOUBLE) / CAST(1000000 AS DOUBLE)
+         (0 - sum_q) / CAST(n_bi AS DOUBLE) / CAST(10000 AS DOUBLE)
              AS xent,
          ROW_NUMBER() OVER (ORDER BY (0 - sum_q) / CAST(n_bi AS DOUBLE),
                             doc_id) AS rn,
@@ -6131,7 +6128,7 @@ tots AS (SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
          FROM feats),
 wts AS (
   SELECT r.b,
-         CAST(ROUND(1000000 *
+         CAST(ROUND(10000 *
               (LN((COALESCE(t.pc, 0) + 1.0) / ((SELECT pt FROM tots) + 64))
                - LN((r.qc + 1.0) / ((SELECT qt FROM tots) + 64))), 0)
               AS BIGINT) AS wq
@@ -6152,7 +6149,7 @@ tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
        FROM toks GROUP BY doc_id, w),
 df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
 nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
-idf AS (SELECT w, CAST(ROUND(1000000 *
+idf AS (SELECT w, CAST(ROUND(10000 *
                 LN(((SELECT n FROM nd) + 1.0) / (df + 1.0)), 0)
                 AS BIGINT) AS qidf
         FROM df),

@@ -12,7 +12,6 @@ B = 400_000
 def test_pack_semantics(spark):
     rows = queries()["image_pack"](spark, SF).collect()
     assert len(rows) == 500
-    batches = defaultdict(list)
     for r in rows:
         # bucket classes are consistent with the dims
         if r["bucket"] == "tall":
@@ -25,7 +24,6 @@ def test_pack_semantics(spark):
         # an image STARTS inside its batch's budget (concat-split rule)
         assert 0 <= r["px_offset"] < B
         assert r["batch_id"] >= 0
-        batches[(r["bucket"], r["batch_id"])].append(r)
     # per bucket: (batch_id * B + px_offset) is the exact running pixel sum
     # over the packing stream — concat-and-split with no gaps or overlaps
     per_bucket = defaultdict(list)

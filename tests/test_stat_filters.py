@@ -36,8 +36,9 @@ def test_ppl_buckets_partition_by_rank(rows):
 
 def test_ppl_score_is_mean_bigram_logprob(rows):
     for r in rows["ppl"][:50]:
-        # x (xent) == -sum_qlp / n_bigrams / 1e6 exactly (two IEEE divides)
-        assert r["x"] == (0 - r["k2"]) / float(r["k1"]) / 1e6
+        # x (xent) == -sum_qlp / n_bigrams / 1e4 exactly (two IEEE divides;
+        # 1e4 is the quantize-then-sum grid for the engine-computed LN terms)
+        assert r["x"] == (0 - r["k2"]) / float(r["k1"]) / 1e4
 
 
 def test_dsir_selects_top_weights(rows):
