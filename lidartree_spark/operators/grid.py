@@ -99,28 +99,31 @@ def _spread_bits(v: Column) -> Column:
     return v
 
 
-def _guard_range(v: Column, axis: str) -> Column:
-    """Fail loudly on out-of-domain grid coords: _spread_bits masks to 25
-    bits, so a coordinate outside [-2^24, 2^24) would otherwise WRAP into a
-    valid-looking but wrong cell and corrupt Z-order pruning ranges
-    undetectably."""
-    return F.when((v >= 0) & (v < F.lit(1 << MORTON_BITS)), v).otherwise(
-        F.raise_error(F.concat(
-            F.lit(f"morton_cell: {axis} grid coordinate out of "
-                  f"[-2^24, 2^24) domain: "),
-            (v - F.lit(MORTON_BIAS)).cast("string"))))
-
-
 def morton_cell(x: Column, y: Column, res: float) -> Column:
     """Finest-level Morton code of a point: bit-interleave of the biased
     integer grid coords floor(x/res), floor(y/res). Pure Catalyst bit
     arithmetic (shiftleft/and/or) -> whole-stage codegen, no UDF.
-    Coordinates outside the 25-bit biased domain raise instead of aliasing."""
-    cx = _guard_range(
-        F.floor(x / F.lit(res)).cast("long") + F.lit(MORTON_BIAS), "x")
-    cy = _guard_range(
-        F.floor(y / F.lit(res)).cast("long") + F.lit(MORTON_BIAS), "y")
-    return _spread_bits(cx).bitwiseOR(F.shiftleft(_spread_bits(cy), 1))
+    Coordinates outside the 25-bit biased domain raise instead of aliasing
+    (_spread_bits masks to 25 bits, so an out-of-domain point would
+    otherwise WRAP into a valid-looking but wrong cell and corrupt Z-order
+    pruning ranges undetectably). The guard is ONE additive term (0 when
+    in-domain, raise when not), NOT a CASE wrapped around each coordinate:
+    the spread chain references its input ~2^5 times, and a guarded leaf
+    inlined at every reference blew the generated method past the JIT
+    limits — measured 2.5x slower than this form on the cell-index gate."""
+    cx = F.floor(x / F.lit(res)).cast("long") + F.lit(MORTON_BIAS)
+    cy = F.floor(y / F.lit(res)).cast("long") + F.lit(MORTON_BIAS)
+    lim = F.lit(1 << MORTON_BITS)
+    ok = (cx >= 0) & (cx < lim) & (cy >= 0) & (cy < lim)
+    guard = F.when(ok, F.lit(0).cast("long")).otherwise(
+        F.raise_error(F.concat(
+            F.lit("morton_cell: grid coordinate out of [-2^24, 2^24) "
+                  "domain: ("),
+            (cx - F.lit(MORTON_BIAS)).cast("string"), F.lit(", "),
+            (cy - F.lit(MORTON_BIAS)).cast("string"), F.lit(")")))
+        .cast("long"))
+    return (_spread_bits(cx).bitwiseOR(F.shiftleft(_spread_bits(cy), 1))
+            + guard)
 
 
 def morton_parent(code: Column, levels_up: int) -> Column:
