@@ -82,6 +82,18 @@ def test_morton_encode_is_codegen_no_udf(spark):
         assert bad not in plan
 
 
+def test_cell_gate_expression_stays_small(spark):
+    """Regression guard for the round-3 codegen blowup: wrapping each
+    spread-chain input in a CASE/raise guard inlined the guard at ~2^5
+    references and grew the gate's physical-plan text ~5x (generated
+    methods blew past JIT limits -> silent 2x slowdown). The additive
+    guard keeps the plan compact; alert if it regresses."""
+    from lidartree_spark.queries import _cell_index
+    plan = _cell_index(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 25_000  # measured 7.8k healthy, ~40k with the blowup
+
+
 def test_zorder_files_pruned_by_code_range(spark, tmp_path):
     """The scale story: a table range-partitioned by morton code (Z-ORDER
     clustering) serves a cell-range query from a subset of files — the
