@@ -5948,6 +5948,49 @@ FROM v
 _EXTENDED["caption_alignment"] = (_caption_align_gate, _CAPTION_ALIGN_DUCK)
 
 
+# --- merge as-of join (extended set) ----------------------------------------
+# The classic temporal operator Spark lacks: for each click, the latest
+# prior view by the same user. operators/temporal.asof_join re-expresses
+# it as union-tag + ONE keyed shuffle + a running last(ignorenulls)
+# window over a struct-packed right row — no per-key range explosion, no
+# nested loop, AQE skew-split applies. The DuckDB oracle uses the engine's
+# NATIVE `ASOF LEFT JOIN` — a structurally independent implementation, so
+# the gate pins the merge semantics (<= tie rule, left-join NULLs, exact
+# microsecond gaps), not a shared formula.
+
+def _asof_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lidartree_spark.operators.temporal import asof_join
+
+    load_views(spark, sf_dir)
+    ev = spark.table("events")
+    left = ev.where("event_type = 'click'").select("event_id", "user_id",
+                                                   "ts")
+    right = ev.where("event_type = 'view'").selectExpr(
+        "event_id AS view_id", "user_id", "ts AS view_ts")
+    j = asof_join(left, right, "user_id", "ts", "view_ts", "view_id")
+    return j.selectExpr(
+        "event_id", "CAST(user_id AS BIGINT) AS user_id", "view_id",
+        # parquet ts is TIMESTAMP_NTZ; the session TZ is pinned UTC, so the
+        # cast reads the same microseconds DuckDB's epoch_us sees
+        "unix_micros(CAST(ts AS TIMESTAMP))"
+        " - unix_micros(CAST(view_ts AS TIMESTAMP)) AS gap_us")
+
+
+_ASOF_DUCK = """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+r AS (
+  SELECT event_id AS view_id, user_id AS r_user, ts AS view_ts
+  FROM events WHERE event_type = 'view')
+SELECT l.event_id, CAST(l.user_id AS BIGINT) AS user_id,
+       r.view_id,
+       epoch_us(l.ts) - epoch_us(r.view_ts) AS gap_us
+FROM l ASOF LEFT JOIN r ON l.user_id = r.r_user AND l.ts >= r.view_ts
+"""
+
+_EXTENDED["asof_join"] = (_asof_gate, _ASOF_DUCK)
+
+
 # --- C4 cleaning heuristics (extended set) ----------------------------------
 # The named C4 pipeline rules (Raffel et al. 2019, "Exploring the Limits
 # of Transfer Learning..." §2.2): keep lines with >= 5 words ending in
