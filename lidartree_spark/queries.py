@@ -5991,6 +5991,61 @@ FROM l ASOF LEFT JOIN r ON l.user_id = r.r_user AND l.ts >= r.view_ts
 _EXTENDED["asof_join"] = (_asof_gate, _ASOF_DUCK)
 
 
+# --- bucketed interval join (extended set) ----------------------------------
+# The temporal range join: views falling inside each purchase's trailing
+# 1-hour window, per user. The Spark side is the 100 TB plan shape — the
+# interval explodes into its covered HOUR buckets (<= 2 rows for a 1-hour
+# window, bounded fan-out) and the probe side buckets by hour, turning the
+# range predicate into an EQUI-join on (user, hour) + exact residual
+# filter: the same bucketed-candidates pattern raster_xy_mask uses on
+# space, applied to time. The DuckDB oracle is the plain unbucketed range
+# join, so the gate proves the rewrite exact. COUNT/MAX keep every output
+# engine-exact (no double summation).
+
+def _interval_join_sql(d: str) -> str:
+    if d == "spark":
+        div = "unix_micros(CAST({c} AS TIMESTAMP)) DIV 3600000000"
+        seq = ("LATERAL VIEW explode(sequence({lo}, {hi})) t AS hb"
+               .format(lo=div.format(c="lo"), hi=div.format(c="ts")))
+        return f"""
+WITH pur AS (
+  SELECT event_id AS purchase_id, user_id, ts,
+         ts - INTERVAL 1 HOUR AS lo
+  FROM events WHERE event_type = 'purchase'),
+pb AS (
+  SELECT event_id AS view_id, user_id, ts AS vts,
+         {div.format(c="ts")} AS hb
+  FROM events WHERE event_type = 'view'),
+ib AS (SELECT purchase_id, user_id, ts, lo, hb FROM pur {seq})
+SELECT i.purchase_id, CAST(i.user_id AS BIGINT) AS user_id,
+       CAST(COUNT(v.view_id) AS BIGINT) AS n_views,
+       MAX(v.view_id) AS max_view_id
+FROM ib i LEFT JOIN pb v
+  ON v.user_id = i.user_id AND v.hb = i.hb
+     AND v.vts > i.lo AND v.vts <= i.ts
+GROUP BY i.purchase_id, i.user_id
+"""
+    return """
+WITH pur AS (
+  SELECT event_id AS purchase_id, user_id, ts,
+         ts - INTERVAL 1 HOUR AS lo
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT event_id AS view_id, user_id AS vu, ts AS vts
+  FROM events WHERE event_type = 'view')
+SELECT p.purchase_id, CAST(p.user_id AS BIGINT) AS user_id,
+       CAST(COUNT(x.view_id) AS BIGINT) AS n_views,
+       MAX(x.view_id) AS max_view_id
+FROM pur p LEFT JOIN v x
+  ON x.vu = p.user_id AND x.vts > p.lo AND x.vts <= p.ts
+GROUP BY 1, 2
+"""
+
+
+_EXTENDED["interval_join"] = (_interval_join_sql("spark"),
+                              _interval_join_sql("duck"))
+
+
 # --- C4 cleaning heuristics (extended set) ----------------------------------
 # The named C4 pipeline rules (Raffel et al. 2019, "Exploring the Limits
 # of Transfer Learning..." §2.2): keep lines with >= 5 words ending in
