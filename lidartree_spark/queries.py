@@ -6046,6 +6046,42 @@ _EXTENDED["interval_join"] = (_interval_join_sql("spark"),
                               _interval_join_sql("duck"))
 
 
+# --- gap-based sessionization (extended set) --------------------------------
+# The batch twin of the streaming session window: a new session starts
+# when a user's inter-event gap exceeds 6 hours. LAG marks boundaries, a
+# running SUM numbers sessions, one grouped rollup per (user, session) —
+# two windows + one aggregation, all partitioned by user (one shuffle at
+# any scale). Microsecond epochs keep every value BIGINT-exact.
+
+def _sessionize_sql(d: str) -> str:
+    us = ("unix_micros(CAST(ts AS TIMESTAMP))" if d == "spark"
+          else "epoch_us(ts)")
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, {us} AS us FROM events),
+g AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                   OR us - LAG(us) OVER w > 21600000000 THEN 1
+              ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (
+  SELECT user_id, event_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS first_event,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+FROM s GROUP BY 1, 2
+"""
+
+
+_EXTENDED["sessionize"] = (_sessionize_sql("spark"), _sessionize_sql("duck"))
+
+
 # --- C4 cleaning heuristics (extended set) ----------------------------------
 # The named C4 pipeline rules (Raffel et al. 2019, "Exploring the Limits
 # of Transfer Learning..." §2.2): keep lines with >= 5 words ending in
