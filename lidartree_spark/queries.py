@@ -6082,6 +6082,25 @@ FROM s GROUP BY 1, 2
 _EXTENDED["sessionize"] = (_sessionize_sql("spark"), _sessionize_sql("duck"))
 
 
+# --- multi-level rollup aggregation (extended set) --------------------------
+# OLAP cube semantics over the corpus dimensions: one ROLLUP pass emits
+# (lang, source), (lang), and grand-total rows with GROUPING markers —
+# Spark plans this as a single Expand + hash aggregate (one shuffle, rows
+# x #levels map-side), identical SQL in both engines.
+
+_ROLLUP_COUNTS = """
+SELECT COALESCE(lang, '<all>') AS lang,
+       COALESCE(source, '<all>') AS source,
+       CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS lvl,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY ROLLUP(lang, source)
+"""
+
+_EXTENDED["rollup_counts"] = (_ROLLUP_COUNTS, _ROLLUP_COUNTS)
+
+
 # --- C4 cleaning heuristics (extended set) ----------------------------------
 # The named C4 pipeline rules (Raffel et al. 2019, "Exploring the Limits
 # of Transfer Learning..." §2.2): keep lines with >= 5 words ending in
