@@ -148,3 +148,47 @@ def decode_check(tiles: DataFrame) -> DataFrame:
         check, schema=("image_id string, fmt string, pixels_ok boolean, "
                        "phash_ok boolean, caption_ok boolean, "
                        "caption_len int"))
+
+
+def build_overview(tiles: DataFrame, out_fmt: str = "png16") -> DataFrame:
+    """One pyramid/overview level (COG- or TMS-style): every 2x2 block of
+    child tiles collapses to ONE parent tile at half ground resolution and
+    unchanged pixel dimensions. The parent key is derived in Catalyst from
+    the tile id, so building a level is ONE shuffle that groups <= 4
+    children; the downsample is an exact 2x2 box average (NaN-aware:
+    missing pixels are ignored, all-NaN blocks stay NaN). L levels = L
+    keyed shuffles over a corpus shrinking 4x per level — the standard
+    overview build at any corpus size. Accepts 't{row}_{col}' child ids
+    (TILES_SCHEMA) and emits 'p{row}_{col}' parents.
+    """
+    withp = tiles.select(
+        "bytes", "w", "h", "fmt",
+        F.substring("image_id", 2, 4).cast("int").alias("trow"),
+        F.substring("image_id", 7, 4).cast("int").alias("tcol"),
+    ).withColumn("prow", (F.col("trow") / 2).cast("int")) \
+     .withColumn("pcol", (F.col("tcol") / 2).cast("int"))
+
+    def assemble(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        from lidartree_spark.codecs import decode_tile, encode_tile
+        prow, pcol = int(key[0]), int(key[1])
+        w, h = int(pdf["w"].iloc[0]), int(pdf["h"].iloc[0])
+        canvas = np.full((2 * h, 2 * w), np.nan, dtype=np.float64)
+        for rec in pdf.itertuples(index=False):
+            arr = decode_tile(rec.bytes, rec.fmt, rec.w, rec.h)
+            r0, c0 = (rec.trow - 2 * prow) * h, (rec.tcol - 2 * pcol) * w
+            canvas[r0:r0 + h, c0:c0 + w] = arr
+        blocks = canvas.reshape(h, 2, w, 2).transpose(0, 2, 1, 3) \
+                       .reshape(h, w, 4)
+        with np.errstate(invalid="ignore"):
+            down = np.nanmean(blocks, axis=2)
+        return pd.DataFrame([{
+            "image_id": f"p{prow:04d}_{pcol:04d}",
+            "bytes": encode_tile(down.astype(np.float32), out_fmt),
+            "w": w, "h": h, "fmt": out_fmt,
+        }])
+
+    return withp.groupBy("prow", "pcol").applyInPandas(
+        assemble, schema="image_id string, bytes binary, w int, h int, "
+                         "fmt string")

@@ -6101,6 +6101,79 @@ GROUP BY ROLLUP(lang, source)
 _EXTENDED["rollup_counts"] = (_ROLLUP_COUNTS, _ROLLUP_COUNTS)
 
 
+# --- overview pyramid build (extended set) ----------------------------------
+# COG/TMS-style overviews: 2x2 child tiles -> one parent at half ground
+# resolution via operators/tiles.build_overview (ONE keyed shuffle per
+# level, exact NaN-aware 2x2 box average, real png16 re-encode). The gate
+# corpus is a 4x4 grid of analytic 8x8 tiles with values on the 1/4 grid
+# (value = t + (i+j)/4), so the box averages stay on the 1/4 grid and the
+# png16 round-trip is EXACT; the DuckDB oracle re-derives every parent
+# pixel closed-form: px(y,x) = t(child) + (2u+2v+1)/4.
+
+def _overview_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lidartree_spark.operators.tiles import build_overview
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        from lidartree_spark.codecs import encode_tile
+        for pdf in batches:
+            rows = []
+            for t in pdf["id"]:
+                t = int(t)
+                i = np.arange(8, dtype=np.float64)[:, None]
+                j = np.arange(8, dtype=np.float64)[None, :]
+                chm = t + (i + j) * 0.25
+                rows.append({"image_id": f"t{t // 4:04d}_{t % 4:04d}",
+                             "bytes": encode_tile(chm.astype(np.float32),
+                                                  "png16"),
+                             "w": 8, "h": 8, "fmt": "png16"})
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w",
+                                              "h", "fmt"])
+
+    schema = "image_id string, bytes binary, w int, h int, fmt string"
+    children = spark.range(0, 16, 1, 4).mapInPandas(gen, schema=schema)
+    parents = build_overview(children)
+
+    def stats(batches):
+        import numpy as np
+        import pandas as pd
+
+        from lidartree_spark.codecs import decode_tile
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                arr = decode_tile(rec.bytes, rec.fmt, rec.w,
+                                  rec.h).astype(np.float64)
+                out.append({"image_id": rec.image_id,
+                            "sum_q": int(np.round(arr * 256).sum()),
+                            "px_max": float(arr.max())})
+            yield pd.DataFrame(out, columns=["image_id", "sum_q",
+                                             "px_max"])
+
+    return parents.mapInPandas(
+        stats, schema="image_id string, sum_q long, px_max double")
+
+
+_OVERVIEW_DUCK = """
+WITH pix AS (
+  SELECT pr, pc, y, x,
+         ((2 * pr + y // 4) * 4 + (2 * pc + x // 4)) AS t,
+         (y % 4) AS u, (x % 4) AS v
+  FROM UNNEST(generate_series(0, 1)) a(pr),
+       UNNEST(generate_series(0, 1)) b(pc),
+       UNNEST(generate_series(0, 7)) c(y),
+       UNNEST(generate_series(0, 7)) d(x))
+SELECT printf('p%04d_%04d', pr, pc) AS image_id,
+       CAST(SUM(256 * t + 64 * (2 * u + 2 * v + 1)) AS BIGINT) AS sum_q,
+       CAST(MAX(t + (2 * u + 2 * v + 1) * 0.25) AS DOUBLE) AS px_max
+FROM pix GROUP BY pr, pc
+"""
+
+_EXTENDED["overview_pyramid"] = (_overview_gate, _OVERVIEW_DUCK)
+
+
 # --- C4 cleaning heuristics (extended set) ----------------------------------
 # The named C4 pipeline rules (Raffel et al. 2019, "Exploring the Limits
 # of Transfer Learning..." §2.2): keep lines with >= 5 words ending in
