@@ -6174,6 +6174,62 @@ FROM pix GROUP BY pr, pc
 _EXTENDED["overview_pyramid"] = (_overview_gate, _OVERVIEW_DUCK)
 
 
+# --- streaming session windows (extended set) -------------------------------
+# The streaming twin of the batch sessionize gate: F.session_window merges
+# per-user events arriving strictly within the 6-hour gap, across TWO
+# forced micro-batches (state carries open sessions over the batch
+# boundary). Oracle = the batch LAG + running-SUM derivation with the
+# matching STRICT gap rule (>= gap starts a new session — Spark session
+# ranges are half-open).
+
+def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from lidartree_spark.streaming.ops import (
+        session_event_stats,
+        stream_events,
+    )
+    src = _stage_events(spark, sf_dir, n_files=2)
+    name = "sess_" + uuid.uuid4().hex[:12]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (session_event_stats(stream_events(spark, src,
+                                               max_files_per_trigger=1))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+_STREAM_SESSIONS_DUCK = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+g AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN LAG(us) OVER w IS NULL
+                   OR us - LAG(us) OVER w >= 21600000000 THEN 1
+              ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+s AS (
+  SELECT user_id, event_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(MIN(us) AS BIGINT) AS session_start_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS first_event,
+       CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+FROM s GROUP BY user_id, sid
+"""
+
+_EXTENDED["streaming_sessions"] = (_streaming_sessions,
+                                   _STREAM_SESSIONS_DUCK)
+
+
 # --- C4 cleaning heuristics (extended set) ----------------------------------
 # The named C4 pipeline rules (Raffel et al. 2019, "Exploring the Limits
 # of Transfer Learning..." §2.2): keep lines with >= 5 words ending in

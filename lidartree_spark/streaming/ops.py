@@ -75,6 +75,31 @@ def windowed_event_stats(events: DataFrame, window: str = "6 hours",
                     "event_type", "n", "sum_value"))
 
 
+def session_event_stats(events: DataFrame, gap: str = "6 hours",
+                        watermark: str = "1 hour") -> DataFrame:
+    """Event-time SESSION windows (F.session_window): per-user sessions
+    merge while consecutive events arrive strictly within `gap`; state for
+    an open session closes once the watermark passes its end. The
+    batch-relational twin is the sessionize gate's LAG + running-SUM
+    numbering — identical semantics (Spark's session ranges are half-open,
+    so a gap of exactly `gap` starts a NEW session), which is what the
+    DuckDB oracle pins. Outputs are all BIGINT-exact microsecond epochs."""
+    gap_us = {"6 hours": 21_600_000_000}[gap]
+    w = F.session_window("ts", gap).alias("w")
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(w, "user_id")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.min("event_id").cast("long").alias("first_event"))
+            .select(F.col("user_id").cast("long").alias("user_id"),
+                    F.unix_micros(F.col("w.start").cast("timestamp"))
+                     .alias("session_start_us"),
+                    "n_events", "first_event",
+                    (F.unix_micros(F.col("w.end").cast("timestamp"))
+                     - F.unix_micros(F.col("w.start").cast("timestamp"))
+                     - F.lit(gap_us)).alias("dur_us")))
+
+
 def dedup_stream(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
                  watermark: str | None = None,
                  time_col: str = "ts") -> DataFrame:
