@@ -6230,6 +6230,52 @@ _EXTENDED["streaming_sessions"] = (_streaming_sessions,
                                    _STREAM_SESSIONS_DUCK)
 
 
+# --- stream-stream join (extended set) --------------------------------------
+# The last named Structured Streaming capability: a watermarked
+# stream-stream inner join (clicks x same-user views in the trailing
+# 1-hour window) across two forced micro-batches — Spark buffers unmatched
+# rows as STATE bounded by the watermark + time-range condition. Oracle =
+# the plain batch range join, so the pairs must come out exactly right
+# even when click and view arrive in different micro-batches.
+
+def _streaming_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from lidartree_spark.streaming.ops import stream_events, stream_pair_join
+    src = _stage_events(spark, sf_dir, n_files=2)
+    name = "spj_" + uuid.uuid4().hex[:12]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        ev = stream_events(spark, src, max_files_per_trigger=1)
+        q = (stream_pair_join(ev.where("event_type = 'click'"),
+                              ev.where("event_type = 'view'"))
+             .writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
+_STREAM_PAIR_DUCK = """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS cts
+  FROM events WHERE event_type = 'click'),
+v AS (
+  SELECT event_id AS view_id, user_id AS vu, ts AS vts
+  FROM events WHERE event_type = 'view')
+SELECT c.click_id, v.view_id, CAST(c.user_id AS BIGINT) AS user_id,
+       epoch_us(c.cts) - epoch_us(v.vts) AS gap_us
+FROM c JOIN v
+  ON v.vu = c.user_id AND v.vts > c.cts - INTERVAL 1 HOUR
+     AND v.vts <= c.cts
+"""
+
+_EXTENDED["streaming_pair_join"] = (_streaming_pair_join,
+                                    _STREAM_PAIR_DUCK)
+
+
 # --- C4 cleaning heuristics (extended set) ----------------------------------
 # The named C4 pipeline rules (Raffel et al. 2019, "Exploring the Limits
 # of Transfer Learning..." §2.2): keep lines with >= 5 words ending in

@@ -100,6 +100,27 @@ def session_event_stats(events: DataFrame, gap: str = "6 hours",
                      - F.lit(gap_us)).alias("dur_us")))
 
 
+def stream_pair_join(clicks: DataFrame, views: DataFrame) -> DataFrame:
+    """Stream-stream inner join: each click pairs with the same user's
+    views from its trailing 1-hour window. Both sides carry watermarks and
+    the join condition bounds event time on both ends — the two constraints
+    that let Spark size the join STATE (buffered unmatched rows) to the
+    late-data horizon instead of the whole stream; without them a
+    stream-stream join cannot run at all. Append-mode output."""
+    c = (clicks.withWatermark("ts", "1 hour")
+         .selectExpr("event_id AS click_id", "user_id AS cu", "ts AS cts"))
+    v = (views.withWatermark("ts", "1 hour")
+         .selectExpr("event_id AS view_id", "user_id AS vu", "ts AS vts"))
+    j = c.join(v, F.expr(
+        "cu = vu AND vts > cts - INTERVAL 1 HOUR AND vts <= cts"))
+    return j.select(
+        F.col("click_id").cast("long").alias("click_id"),
+        F.col("view_id").cast("long").alias("view_id"),
+        F.col("cu").cast("long").alias("user_id"),
+        (F.unix_micros(F.col("cts").cast("timestamp"))
+         - F.unix_micros(F.col("vts").cast("timestamp"))).alias("gap_us"))
+
+
 def dedup_stream(events: DataFrame, keys: tuple[str, ...] = ("event_id",),
                  watermark: str | None = None,
                  time_col: str = "ts") -> DataFrame:
