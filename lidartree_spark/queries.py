@@ -6276,6 +6276,97 @@ _EXTENDED["streaming_pair_join"] = (_streaming_pair_join,
                                     _STREAM_PAIR_DUCK)
 
 
+# --- integer-exact PageRank (extended set) ----------------------------------
+# The iterative-graph-analytics family: _PR_ITERS power iterations of
+# PageRank (d = 0.85) over the symmetrized bipartite customer<->supplier
+# graph from lineitem+orders. ALL arithmetic is scaled-integer (ranks
+# in 1e-12 units, damping via *85 DIV 100), so both engines produce
+# bit-identical BIGINTs with no float summation anywhere. Spark expresses
+# each iteration as one join + one keyed aggregation (the Pregel shape:
+# L iterations = L shuffles, each combinable map-side); the oracle unrolls
+# the same recurrence as 10 chained CTEs. Symmetrization guarantees
+# outdeg >= 1 (no dangling-mass term needed).
+
+_PR_ITERS = 6
+_PR_SCALE = 10 ** 12
+
+
+def _pagerank_edges_sql() -> str:
+    return """
+SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+"""
+
+
+def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_views(spark, sf_dir)
+    e = spark.sql(_pagerank_edges_sql())
+    edges = (e.unionByName(e.selectExpr("dst AS src", "src AS dst"))
+             .distinct())
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # DIV everywhere (never `/` + cast: double division rounds to nearest
+    # before truncation and can cross an integer boundary — DIV is the
+    # exact integer floor both engines share). n is a tiny driver-side
+    # count embedded as a literal, like train_centroids' K.
+    edges = edges.persist()
+    deg = deg.persist()
+    nodes = nodes.persist()
+    n = nodes.count()
+    ranks = nodes.selectExpr("node", f"{_PR_SCALE} DIV {n}L AS r")
+    for i in range(_PR_ITERS):
+        # per-node share first (node-sized join), THEN the edge join: the
+        # r DIV outdeg division happens once per node, not once per edge,
+        # and each iteration is one node join + one edge join + one agg
+        shares = (ranks.join(deg, ranks.node == deg.src)
+                  .selectExpr("node AS src", "r DIV outdeg AS c"))
+        contrib = edges.join(shares, "src").selectExpr("dst AS node", "c")
+        gathered = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = (nodes.join(gathered, "node", "left")
+                 .selectExpr(
+                     "node",
+                     f"(15 * ({_PR_SCALE} DIV {n}L)) DIV 100"
+                     " + (85 * COALESCE(s, 0L)) DIV 100 AS r"))
+        # cut lineage every second iteration (the connected_components
+        # pattern): unchecked, the plan nests 10 joins deep and Catalyst
+        # re-analysis dominates; checkpointing EVERY iteration pays one
+        # materialization job per round, the worst of both — every 2 is
+        # the measured sweet spot
+        if i % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=True)
+    for df in (edges, deg, nodes):
+        df.unpersist()
+    return ranks.selectExpr("CAST(node AS BIGINT) AS node",
+                            "CAST(r AS BIGINT) AS rank")
+
+
+def _pagerank_duck() -> str:
+    cte = [f"""
+e0 AS ({_pagerank_edges_sql()}),
+edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, {_PR_SCALE} // (SELECT n FROM nn) AS r FROM nodes)"""]
+    for i in range(_PR_ITERS):
+        cte.append(f"""
+g{i} AS (
+  SELECT e.dst AS node, SUM(r.r // d.outdeg) AS s
+  FROM edges e JOIN r{i} r ON r.node = e.src JOIN deg d ON d.src = e.src
+  GROUP BY e.dst),
+r{i + 1} AS (
+  SELECT n.node,
+         (15 * ({_PR_SCALE} // (SELECT n FROM nn))) // 100
+         + (85 * COALESCE(g.s, 0)) // 100 AS r
+  FROM nodes n LEFT JOIN g{i} g ON g.node = n.node)""")
+    return ("WITH " + ",".join(cte) + f"""
+SELECT CAST(node AS BIGINT) AS node, CAST(r AS BIGINT) AS rank
+FROM r{_PR_ITERS}""")
+
+
+_EXTENDED["pagerank"] = (_pagerank, _pagerank_duck())
+
+
 # --- C4 cleaning heuristics (extended set) ----------------------------------
 # The named C4 pipeline rules (Raffel et al. 2019, "Exploring the Limits
 # of Transfer Learning..." §2.2): keep lines with >= 5 words ending in
