@@ -6434,6 +6434,124 @@ FROM ids
 _EXTENDED["c4_heuristics"] = (_C4_SPARK, _C4_DUCK)
 
 
+# --- distributed sketches: HyperLogLog + Count-Min (extended set) -----------
+# The mergeable-sketch family on deterministic md5 hashing, so BOTH
+# engines derive identical sketches from first principles (no RNG, no
+# engine-private hash). Scale story: both sketches are algebraic
+# aggregates — register-max / cell-count partials combine map-side, the
+# final merge is O(registers), and the sketch for a 10^12-token corpus is
+# the same 64 numbers.
+#
+# 'reg'/'est' — HyperLogLog (Flajolet et al. 2007), m = 64 registers:
+#     bucket = first-2-hex-chars md5 trick (the quality_classifier idiom),
+#     rho = 1 + leading zero BITS of the next 12 nibbles (nibble-wise
+#     relational derivation), register = MAX(rho). The harmonic-mean
+#     estimate is computed from the EXACT BIGINT S = sum 2^(50-reg) with a
+#     fixed IEEE op order, so the double is engine-identical; the exact
+#     COUNT(DISTINCT) rides along as the accuracy reference.
+# 'cms'/'hh' — Count-Min (Cormode & Muthukrishnan 2005), depth 2 x width
+#     64 on salted md5 rows; 'hh' queries the top-5 true heavy hitters and
+#     reports estimate = min over rows (the CM upper bound, integer-exact).
+
+def _sketches_sql(d: str) -> str:
+    if d == "spark":
+        tok_src = """
+  SELECT lang, explode(split(text, ' ')) AS tok FROM documents"""
+        jpos = "LATERAL VIEW explode(sequence(1, 12)) jp AS j"
+        dpos = "LATERAL VIEW explode(array('0', '1')) dp AS d"
+        bseq = "SELECT explode(sequence(0, 63)) AS b"
+        sub = "substring"
+    else:
+        tok_src = """
+  SELECT lang, u.tok AS tok
+  FROM documents, UNNEST(string_split(text, ' ')) u(tok)"""
+        jpos = ", UNNEST(generate_series(1, 12)) jp(j)"
+        dpos = ", UNNEST(['0', '1']) dp(d)"
+        bseq = "SELECT b FROM UNNEST(generate_series(0, 63)) bb(b)"
+        sub = "substr"
+
+    h1 = _HEX.format(c=f"{sub}(hx, 1, 1)")
+    h2 = _HEX.format(c=f"{sub}(hx, 2, 1)")
+    ch1 = _HEX.format(c=f"{sub}(chx, 1, 1)")
+    ch2 = _HEX.format(c=f"{sub}(chx, 2, 1)")
+    nz = (f"CASE WHEN {sub}(hx, j + 2, 1) <> '0' THEN j END")
+    lzc = f"""CASE {sub}(hx, j1 + 2, 1)
+          WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+          WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+          ELSE 0 END"""
+    return f"""
+WITH toks AS ({tok_src}),
+hx AS (SELECT lang, tok, md5(tok) AS hx FROM toks),
+hb AS (
+  SELECT lang, tok, hx, (({h1}) * 16 + ({h2})) % 64 AS b,
+         MIN({nz}) AS j1
+  FROM hx {jpos}
+  GROUP BY lang, tok, hx),
+rho AS (
+  SELECT lang, b, COALESCE(4 * (j1 - 1) + ({lzc}) + 1, 49) AS rho
+  FROM hb),
+regs AS (
+  SELECT lang, b, MAX(rho) AS reg FROM rho GROUP BY lang, b),
+langs AS (SELECT DISTINCT lang FROM documents),
+spine AS (SELECT l.lang, s.b FROM langs l, ({bseq}) s),
+full_regs AS (
+  SELECT s.lang, s.b, COALESCE(r.reg, 0) AS reg
+  FROM spine s LEFT JOIN regs r ON r.lang = s.lang AND r.b = s.b),
+hsum AS (
+  SELECT lang,
+         CAST(SUM(CAST(POW(2, 50 - reg) AS BIGINT)) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v
+  FROM full_regs GROUP BY lang),
+exact AS (
+  SELECT lang, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n FROM toks
+  GROUP BY lang),
+cms_cells AS (
+  SELECT CAST(d AS INT) AS dd,
+         (({ch1}) * 16 + ({ch2})) % 64 AS cb,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT tok, d, md5(d || '|' || tok) AS chx FROM toks {dpos}) x
+  GROUP BY 1, 2),
+truec AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY tok),
+top5 AS (
+  SELECT tok, n FROM (
+    SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+    FROM truec) r
+  WHERE rk <= 5),
+hhq AS (
+  SELECT t.tok, t.n, MIN(c.c) AS est
+  FROM (SELECT tok, n, d, md5(d || '|' || tok) AS chx
+        FROM top5 {dpos}) t
+  JOIN cms_cells c
+    ON c.dd = CAST(t.d AS INT)
+   AND c.cb = (({ch1.replace("chx", "t.chx")}) * 16
+               + ({ch2.replace("chx", "t.chx")})) % 64
+  GROUP BY t.tok, t.n)
+SELECT 'reg' AS section, lang AS key, CAST(b AS BIGINT) AS k,
+       CAST(reg AS DOUBLE) AS val
+FROM full_regs
+UNION ALL
+SELECT 'est', e.lang, e.n,
+       -- full HLL: raw harmonic estimate, switched to linear counting in
+       -- the small range (E <= 2.5m and empty registers remain) exactly
+       -- as Flajolet et al. specify
+       CASE WHEN CAST(709 AS DOUBLE) * 4096 * POW(2, 50) / 1000 / h.s
+                 <= 160 AND h.v > 0
+            THEN 64 * LN(CAST(64 AS DOUBLE) / h.v)
+            ELSE CAST(709 AS DOUBLE) * 4096 * POW(2, 50) / 1000 / h.s
+       END
+FROM exact e JOIN hsum h ON h.lang = e.lang
+UNION ALL
+SELECT 'cms', 'all', CAST(dd * 64 + cb AS BIGINT), CAST(c AS DOUBLE)
+FROM cms_cells
+UNION ALL
+SELECT 'hh', tok, n, CAST(est AS DOUBLE) FROM hhq
+"""
+
+
+_EXTENDED["sketches"] = (_sketches_sql("spark"), _sketches_sql("duck"))
+
+
 # --- statistical text-selection filters: CCNet ppl + DSIR + tf-idf ----------
 # Three model-based data-selection operators over the documents corpus,
 # merged into one section-tagged driver gate (stat_filters); the standalone
