@@ -4178,27 +4178,39 @@ def _stage_events(spark: SparkSession, sf_dir: str, n_files: int = 1,
     return d
 
 
+def _run_stream(spark: SparkSession, df: DataFrame, prefix: str,
+                mode: str) -> DataFrame:
+    """Shared memory-sink harness for the streaming gates: unique query
+    name, shuffle.partitions pinned to 8 for the stream lifetime (the
+    state store instantiates one provider per shuffle partition per
+    micro-batch — at gate volume 32 partitions is pure commit latency; on
+    a real cluster this knob is sized to executor count), availableNow
+    trigger, conf restored afterwards. Partition count binds at query
+    START, so setting it here (after the caller built the plan) is what
+    the stream actually runs with."""
+    import uuid
+    name = prefix + uuid.uuid4().hex[:12]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode(mode).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
+
+
 def _streaming_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked event-time windowed aggregation, run as a real stream
     (file source -> complete-mode memory sink, availableNow trigger)."""
-    import uuid
-
     from lidartree_spark.streaming.ops import (
         stream_events,
         windowed_event_stats,
     )
     src = _stage_events(spark, sf_dir)
-    name = "win_" + uuid.uuid4().hex[:12]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (windowed_event_stats(stream_events(spark, src))
-             .writeStream.format("memory").queryName(name)
-             .outputMode("complete").trigger(availableNow=True).start())
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return _run_stream(spark, windowed_event_stats(stream_events(spark, src)),
+                       "win_", "complete")
 
 
 _STREAM_WINDOWED_DUCK = """
@@ -4214,32 +4226,19 @@ def _streaming_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batches; the final cumulative per-user state must equal the batch
     GROUP BY — the oracle only matches if state really carried across
     batch boundaries."""
-    import uuid
-
     from lidartree_spark.streaming.ops import (
         running_user_totals,
         stream_events,
     )
     src = _stage_events(spark, sf_dir, n_files=3)
-    name = "tot_" + uuid.uuid4().hex[:12]
-    # The state store instantiates one provider per shuffle partition per
-    # micro-batch; at this volume 32 partitions x 3 batches is pure
-    # commit-latency overhead. 8 partitions is still multi-core parallel —
-    # on a real cluster this knob is sized to executor count, not left at
-    # the batch default. Restored after the stream finishes.
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (running_user_totals(stream_events(spark, src,
-                                               max_files_per_trigger=1))
-             .writeStream.format("memory").queryName(name)
-             .outputMode("update").trigger(availableNow=True).start())
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    res = _run_stream(
+        spark,
+        running_user_totals(stream_events(spark, src,
+                                          max_files_per_trigger=1)),
+        "tot_", "update")
     # update mode appends one row per (user, batch); the final state is the
     # row with the highest running count
-    return (spark.table(name)
+    return (res
             .groupBy("user_id")
             .agg(F.max("n").cast("long").alias("n"),
                  F.round(F.max_by("total", "n"), 6).alias("total")))
@@ -4306,22 +4305,13 @@ def _streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries across batch boundaries reproduces the batch answer. n ==
     n_ids per group proves no duplicate survived; matching the oracle's
     full-table counts proves nothing was over-dropped."""
-    import uuid
-
     from lidartree_spark.streaming.ops import dedup_stream, stream_events
     src = _stage_events(spark, sf_dir, n_files=3, overlap=50)
-    name = "dd_" + uuid.uuid4().hex[:12]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (dedup_stream(stream_events(spark, src,
-                                        max_files_per_trigger=1))
-             .writeStream.format("memory").queryName(name)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return (spark.table(name)
+    res = _run_stream(
+        spark,
+        dedup_stream(stream_events(spark, src, max_files_per_trigger=1)),
+        "dd_", "append")
+    return (res
             .groupBy("event_type")
             .agg(F.count("*").cast("long").alias("n"),
                  F.countDistinct("event_id").cast("long").alias("n_ids"),
@@ -5980,8 +5970,13 @@ _ASOF_DUCK = """
 WITH l AS (
   SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
 r AS (
-  SELECT event_id AS view_id, user_id AS r_user, ts AS view_ts
-  FROM events WHERE event_type = 'view')
+  -- dedupe to the greatest event_id per (user, ts): DuckDB's native ASOF
+  -- picks an ARBITRARY row at timestamp ties, while asof_join's
+  -- documented tie rule is greatest right_id — pre-aggregating makes the
+  -- oracle deterministic under any future corpus (today no sf corpus has
+  -- duplicate (user, ts) pairs, but the gate must not rely on that)
+  SELECT MAX(event_id) AS view_id, user_id AS r_user, ts AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts)
 SELECT l.event_id, CAST(l.user_id AS BIGINT) AS user_id,
        r.view_id,
        epoch_us(l.ts) - epoch_us(r.view_ts) AS gap_us
@@ -6183,25 +6178,16 @@ _EXTENDED["overview_pyramid"] = (_overview_gate, _OVERVIEW_DUCK)
 # ranges are half-open).
 
 def _streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from lidartree_spark.streaming.ops import (
         session_event_stats,
         stream_events,
     )
     src = _stage_events(spark, sf_dir, n_files=2)
-    name = "sess_" + uuid.uuid4().hex[:12]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (session_event_stats(stream_events(spark, src,
-                                               max_files_per_trigger=1))
-             .writeStream.format("memory").queryName(name)
-             .outputMode("complete").trigger(availableNow=True).start())
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    return _run_stream(
+        spark,
+        session_event_stats(stream_events(spark, src,
+                                          max_files_per_trigger=1)),
+        "sess_", "complete")
 
 
 _STREAM_SESSIONS_DUCK = """
@@ -6239,23 +6225,14 @@ _EXTENDED["streaming_sessions"] = (_streaming_sessions,
 # even when click and view arrive in different micro-batches.
 
 def _streaming_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from lidartree_spark.streaming.ops import stream_events, stream_pair_join
     src = _stage_events(spark, sf_dir, n_files=2)
-    name = "spj_" + uuid.uuid4().hex[:12]
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        ev = stream_events(spark, src, max_files_per_trigger=1)
-        q = (stream_pair_join(ev.where("event_type = 'click'"),
-                              ev.where("event_type = 'view'"))
-             .writeStream.format("memory").queryName(name)
-             .outputMode("append").trigger(availableNow=True).start())
-        q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return spark.table(name)
+    ev = stream_events(spark, src, max_files_per_trigger=1)
+    return _run_stream(
+        spark,
+        stream_pair_join(ev.where("event_type = 'click'"),
+                         ev.where("event_type = 'view'")),
+        "spj_", "append")
 
 
 _STREAM_PAIR_DUCK = """

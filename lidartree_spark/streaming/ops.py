@@ -84,7 +84,9 @@ def session_event_stats(events: DataFrame, gap: str = "6 hours",
     numbering — identical semantics (Spark's session ranges are half-open,
     so a gap of exactly `gap` starts a NEW session), which is what the
     DuckDB oracle pins. Outputs are all BIGINT-exact microsecond epochs."""
-    gap_us = {"6 hours": 21_600_000_000}[gap]
+    qty, unit = gap.split()
+    gap_us = int(qty) * {"second": 10 ** 6, "minute": 60 * 10 ** 6,
+                         "hour": 3600 * 10 ** 6}[unit.rstrip("s")]
     w = F.session_window("ts", gap).alias("w")
     return (events
             .withWatermark("ts", watermark)
