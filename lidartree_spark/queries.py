@@ -6436,7 +6436,9 @@ def _sketches_sql(d: str) -> str:
   SELECT lang, explode(split(text, ' ')) AS tok FROM documents"""
         jpos = "LATERAL VIEW explode(sequence(1, 12)) jp AS j"
         dpos = "LATERAL VIEW explode(array('0', '1')) dp AS d"
-        bseq = "SELECT explode(sequence(0, 63)) AS b"
+        # lateral explode, NOT a comma cross join: the registry-wide plan
+        # hygiene gate forbids CartesianProduct even for a 5x64 spine
+        bpos = "LATERAL VIEW explode(sequence(0, 63)) bp AS b"
         sub = "substring"
     else:
         tok_src = """
@@ -6444,7 +6446,7 @@ def _sketches_sql(d: str) -> str:
   FROM documents, UNNEST(string_split(text, ' ')) u(tok)"""
         jpos = ", UNNEST(generate_series(1, 12)) jp(j)"
         dpos = ", UNNEST(['0', '1']) dp(d)"
-        bseq = "SELECT b FROM UNNEST(generate_series(0, 63)) bb(b)"
+        bpos = ", UNNEST(generate_series(0, 63)) bp(b)"
         sub = "substr"
 
     h1 = _HEX.format(c=f"{sub}(hx, 1, 1)")
@@ -6470,7 +6472,7 @@ rho AS (
 regs AS (
   SELECT lang, b, MAX(rho) AS reg FROM rho GROUP BY lang, b),
 langs AS (SELECT DISTINCT lang FROM documents),
-spine AS (SELECT l.lang, s.b FROM langs l, ({bseq}) s),
+spine AS (SELECT lang, b FROM langs {bpos}),
 full_regs AS (
   SELECT s.lang, s.b, COALESCE(r.reg, 0) AS reg
   FROM spine s LEFT JOIN regs r ON r.lang = s.lang AND r.b = s.b),
