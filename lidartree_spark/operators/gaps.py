@@ -89,21 +89,27 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     driver-side union-find), which is what survives 10^12 tiles where the
     edge set itself can be billions of rows. Returns (node, comp).
 
-    driver_threshold > 0 enables a hybrid: if the (deduped, SYMMETRIZED)
-    edge-row count is below it — i.e. up to ~threshold/2 undirected input
-    pairs — the edges are collected and resolved with a driver-side
-    union-find: one job instead of O(diameter) rounds. The same
-    small-side-materialization tradeoff Catalyst makes for broadcast joins;
-    the min-label result is identical because the component representative
-    is the lexicographic min node either way."""
+    driver_threshold > 0 enables a hybrid: if 2x the raw pair-row count —
+    a shuffle-free upper bound on the symmetrized distinct edge count, so
+    up to ~threshold/2 undirected input pairs — is at or below it, the
+    edges are collected and resolved with a driver-side union-find: one
+    job instead of O(diameter) rounds. The same small-side-materialization
+    tradeoff Catalyst makes for broadcast joins; the min-label result is
+    identical because the component representative is the lexicographic
+    min node either way."""
     raw = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
     if driver_threshold > 0:
-        edges = (raw.union(raw.select(F.col("v").alias("u"),
-                                      F.col("u").alias("v")))
-                 .distinct()
-                 .persist())
-        sample = edges.limit(driver_threshold + 1).collect()
-        if len(sample) <= driver_threshold:
+        # Cheap pre-guard: |symmetrized distinct edges| <= 2 * |raw|, and
+        # raw.count() is a shuffle-free scan — so when the edge set is big
+        # the hybrid neither pays the distinct shuffle nor materializes a
+        # single row on the driver. (The previous limit+collect probe
+        # pulled up to threshold+1 padded-string Rows — hundreds of MB —
+        # onto the driver just to DECIDE, a driver-OOM risk near the
+        # threshold.)
+        if 2 * raw.count() <= driver_threshold:
+            sample = (raw.union(raw.select(F.col("v").alias("u"),
+                                           F.col("u").alias("v")))
+                      .distinct().collect())
             parent: dict[str, str] = {}
 
             def find(x: str) -> str:
@@ -121,14 +127,12 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
                     lo, hi = (ra, rb) if ra < rb else (rb, ra)
                     parent[hi] = lo
             nodes = {x for r in sample for x in (r.u, r.v)}
-            edges.unpersist()
             if not nodes:
                 return pairs.sparkSession.createDataFrame(
                     [], "node string, comp string")
             return pairs.sparkSession.createDataFrame(
                 pd.DataFrame([{"node": x, "comp": find(x)}
                               for x in sorted(nodes)]))
-        edges.unpersist()
     # Partition-local contraction: run a union-find over each partition's
     # edge slice (memory-bounded by that partition's node count) and emit
     # one (node, local-min-root) star edge per node. CC over the stars

@@ -31,7 +31,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     Column contract: `right`'s non-key column names must not collide with
     `left`'s (rename before calling). Returns left columns + right non-key
     columns.
+
+    NULL times carry no "as of" instant, so rows with a NULL time column
+    are dropped from BOTH sides before the merge (a NULL-timed right row
+    would otherwise sort nulls-first and become permanently matchable
+    state; a NULL-timed left row would silently never match). This mirrors
+    how databases with native ASOF JOIN (e.g. DuckDB) treat NULL keys in
+    an inequality predicate: the comparison is never true.
     """
+    left = left.where(F.col(left_time).isNotNull())
+    right = right.where(F.col(right_time).isNotNull())
     lcols = left.columns
     rcols = [c for c in right.columns if c != on]
     lstruct = F.struct(*[F.col(c) for c in lcols]).alias("_l")

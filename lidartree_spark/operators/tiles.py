@@ -161,10 +161,22 @@ def build_overview(tiles: DataFrame, out_fmt: str = "png16") -> DataFrame:
     overview build at any corpus size. Accepts 't{row}_{col}' child ids
     (TILES_SCHEMA) and emits 'p{row}_{col}' parents.
     """
-    withp = tiles.select(
+    # Parse the id by regex, not fixed-position substring: the 4-digit
+    # padding is a MINIMUM width, so at >= 10000 rows/cols the id grows
+    # and a substring parse would silently truncate digits and group
+    # children under the wrong parent. Non-matching ids fail loudly
+    # (same policy as morton_cell's guard).
+    rx = "^[tp]([0-9]+)_([0-9]+)$"
+    bad = ("CAST(raise_error(CONCAT('build_overview: unparseable tile id ',"
+           " image_id)) AS INT)")
+    withp = tiles.selectExpr(
         "bytes", "w", "h", "fmt",
-        F.substring("image_id", 2, 4).cast("int").alias("trow"),
-        F.substring("image_id", 7, 4).cast("int").alias("tcol"),
+        f"CASE WHEN image_id RLIKE '{rx}' THEN "
+        f"CAST(regexp_extract(image_id, '{rx}', 1) AS INT) "
+        f"ELSE {bad} END AS trow",
+        f"CASE WHEN image_id RLIKE '{rx}' THEN "
+        f"CAST(regexp_extract(image_id, '{rx}', 2) AS INT) "
+        f"ELSE {bad} END AS tcol",
     ).withColumn("prow", (F.col("trow") / 2).cast("int")) \
      .withColumn("pcol", (F.col("tcol") / 2).cast("int"))
 

@@ -2047,13 +2047,27 @@ def _coreg_e2e_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(1 + (i * 7 + j * 11 + t) % 13 AS DOUBLE) AS h",
     )
     out = coregister(tiles, trees, buffer=4.0, step=0.5, dm=2.0, res=0.5)
+    # Cross-engine float rule (round-3 verdict): this gate's local medians
+    # sit near zero, so the max1/median ratios amplify a last-ulp Pearson/
+    # median difference past ROUND(x,6)'s resolution (rmedloc2 tile 1:
+    # -2737.882069 vs -2737.882068). Emit scaled-BIGINT quantizations
+    # instead — 1e6 for the bounded-in-[-1,1] correlation max1, 1e2 for the
+    # amplified ratio columns (tolerance 5e-3 vs observed ~1e-6 drift).
     return out.select(
-        "image_id", F.round("max1", 6).alias("max1"), "dx1", "dy1", "dx2",
-        "dy2", F.round("ratiomax1max2", 6).alias("ratiomax1max2"),
-        F.round("rmedloc1", 6).alias("rmedloc1"),
-        F.round("rmedloc2", 6).alias("rmedloc2"),
-        F.round("rquanta", 6).alias("rquanta"),
-        F.round("rquantb", 6).alias("rquantb"))
+        "image_id",
+        F.expr("CAST(ROUND(max1 * CAST(1000000 AS DOUBLE)) AS BIGINT)")
+         .alias("max1_q6"),
+        "dx1", "dy1", "dx2", "dy2",
+        F.expr("CAST(ROUND(ratiomax1max2 * CAST(100 AS DOUBLE)) AS BIGINT)")
+         .alias("ratio12_q2"),
+        F.expr("CAST(ROUND(rmedloc1 * CAST(100 AS DOUBLE)) AS BIGINT)")
+         .alias("rmedloc1_q2"),
+        F.expr("CAST(ROUND(rmedloc2 * CAST(100 AS DOUBLE)) AS BIGINT)")
+         .alias("rmedloc2_q2"),
+        F.expr("CAST(ROUND(rquanta * CAST(100 AS DOUBLE)) AS BIGINT)")
+         .alias("rquanta_q2"),
+        F.expr("CAST(ROUND(rquantb * CAST(100 AS DOUBLE)) AS BIGINT)")
+         .alias("rquantb_q2"))
 
 
 _COREG_E2E_DUCK = """
@@ -2112,14 +2126,14 @@ medl2 AS (
 q AS (SELECT t, quantile_cont(c, 0.75) AS qa, quantile_cont(c, 0.5) AS qb
       FROM surf GROUP BY t)
 SELECT printf('t0000_%04d', m1.t) AS image_id,
-       ROUND(m1.max1, 6) AS max1,
+       CAST(ROUND(m1.max1 * 1000000) AS BIGINT) AS max1_q6,
        CAST(m1.x1 * 0.5 AS DOUBLE) AS dx1, CAST(m1.y1 * 0.5 AS DOUBLE) AS dy1,
        CAST(m2.x2 * 0.5 AS DOUBLE) AS dx2, CAST(m2.y2 * 0.5 AS DOUBLE) AS dy2,
-       ROUND(m1.max1 / m2.max2, 6) AS ratiomax1max2,
-       ROUND(m1.max1 / medl1.v, 6) AS rmedloc1,
-       ROUND(m1.max1 / medl2.v, 6) AS rmedloc2,
-       ROUND(m1.max1 / q.qa, 6) AS rquanta,
-       ROUND(m1.max1 / q.qb, 6) AS rquantb
+       CAST(ROUND(m1.max1 / m2.max2 * 100) AS BIGINT) AS ratio12_q2,
+       CAST(ROUND(m1.max1 / medl1.v * 100) AS BIGINT) AS rmedloc1_q2,
+       CAST(ROUND(m1.max1 / medl2.v * 100) AS BIGINT) AS rmedloc2_q2,
+       CAST(ROUND(m1.max1 / q.qa * 100) AS BIGINT) AS rquanta_q2,
+       CAST(ROUND(m1.max1 / q.qb * 100) AS BIGINT) AS rquantb_q2
 FROM m1
 JOIN m2 ON m2.t = m1.t
 JOIN medl1 ON medl1.t = m1.t

@@ -42,3 +42,18 @@ def test_asof_tie_on_same_right_timestamp(spark):
         "rid long, user_id long, rts timestamp")
     (row,) = asof_join(left, right, "user_id", "ts", "rts", "rid").collect()
     assert row["rid"] == 102
+
+
+def test_asof_null_times_dropped(spark):
+    """NULL time columns carry no as-of instant: NULL-timed right rows
+    never become matchable state, NULL-timed left rows are dropped (not
+    silently emitted unmatched)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(5)), (2, 10, None)],
+        "lid long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(101, 10, None), (102, 10, _ts(2))],
+        "rid long, user_id long, rts timestamp")
+    rows = asof_join(left, right, "user_id", "ts", "rts", "rid").collect()
+    assert [r["lid"] for r in rows] == [1]
+    assert rows[0]["rid"] == 102  # the NULL-timed right row never matches

@@ -41,3 +41,33 @@ def test_overview_matches_numpy_reference(spark):
             assert np.array_equal(np.isnan(got), np.isnan(want))
             np.testing.assert_allclose(np.nan_to_num(got),
                                        np.nan_to_num(want), atol=1 / 512)
+
+
+def test_overview_wide_ids_and_bad_id(spark):
+    """ids with >= 5-digit rows/cols parse by regex (a fixed-position
+    substring parse would truncate digits and group children under the
+    wrong parent); unparseable ids fail loudly."""
+    import pandas as pd
+    import pytest
+
+    from lidartree_spark.codecs import encode_tile
+
+    def tile(r, c, val):
+        arr = np.full((4, 4), float(val), dtype=np.float32)
+        return {"image_id": f"t{r:04d}_{c:04d}",
+                "bytes": encode_tile(arr, "raw_f32"),
+                "w": 4, "h": 4, "fmt": "raw_f32"}
+
+    # two parents far apart: (row 20000..20001, col 6) and (row 0, col 6)
+    # — substring-truncated parsing would merge 20000 with 2000x garbage
+    rows = [tile(20000, 6, 1.0), tile(20001, 7, 3.0), tile(0, 6, 9.0)]
+    tiles = spark.createDataFrame(pd.DataFrame(rows))
+    parents = {r["image_id"]: r for r in build_overview(tiles).collect()}
+    assert sorted(parents) == ["p0000_0003", "p10000_0003"]
+    top = decode_tile(parents["p10000_0003"]["bytes"], "png16", 4, 4)
+    assert np.nanmean(top) != 9.0  # the row-0 tile went to its own parent
+
+    bad = spark.createDataFrame(pd.DataFrame([
+        {**tile(0, 0, 1.0), "image_id": "tile_weird"}]))
+    with pytest.raises(Exception, match="unparseable tile id"):
+        build_overview(bad).collect()

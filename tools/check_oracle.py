@@ -21,7 +21,10 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        # repr = shortest round-trip decimal — full-precision compare, so
+        # the local gate sees exactly what the driver's value hash sees
+        # (the %.9g it replaced masked a last-ulp coreg mismatch in r3).
+        return repr(v)
     return str(v)
 
 
