@@ -13,6 +13,7 @@ range), which is how a 10^12-row corpus would be materialized.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 
@@ -25,6 +26,21 @@ FMTS = ("raw_f32", "png16", "q8", "png", "jpeg")
 
 def tile_seed(image_id: str) -> int:
     return int.from_bytes(hashlib.sha256(image_id.encode()).digest()[:8], "little")
+
+
+_TILE_ID_RE = re.compile(r"^[tp](\d+)_(\d+)$")
+
+
+def parse_tile_id(image_id: str) -> tuple[int, int]:
+    """(row, col) from a 't{row}_{col}' / 'p{row}_{col}' id. The 4-digit
+    padding in emitted ids is a MINIMUM width, so parsing must be by
+    pattern, not fixed positions — a substring parse silently truncates
+    digits at >= 10000 rows/cols and assigns tiles to wrong grid
+    positions. Unparseable ids raise (fail-loudly guard policy)."""
+    m = _TILE_ID_RE.match(image_id)
+    if m is None:
+        raise ValueError(f"unparseable tile id: {image_id!r}")
+    return int(m.group(1)), int(m.group(2))
 
 
 def tile_origin(row: int, col: int, w: int = 64, h: int = 64, res: float = RES):

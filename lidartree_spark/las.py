@@ -1,0 +1,281 @@
+"""LAS 1.2 point-cloud codec + distributed reader (uncompressed).
+
+The reference's native input is a .laz point-cloud file
+(/root/reference/R/common.R:16-20 reads `las_chablais3.laz` via
+lidR::readLAS; inst/extdata ships the tile). This module closes that
+source-parity gap for the UNCOMPRESSED container: LAS 1.2 per the public
+ASPRS "LAS Specification Version 1.2" (point data record formats 0-3).
+LAZ (the compressed variant) stays a documented non-goal — the arithmetic
+entropy coder is a large spec surface and fabricating it from memory
+violates the repo's codec policy.
+
+Scale design — the reader is split-by-construction:
+
+1. a HEADER scan (227 bytes per file, distributed `mapInPandas` over the
+   file listing) yields a manifest row per file: point format, record
+   length, record count, byte offset, scale/offset georef;
+2. the manifest explodes into fixed-size RECORD-RANGE chunks (records are
+   fixed length, so any [start, start+n) range is an exact byte range —
+   the same property parquet row groups give a DataSource scan);
+3. one `mapInPandas` over chunk rows does open/seek/read of exactly its
+   range and vectorized numpy struct decoding — no file is ever read
+   whole, no chunk exceeds `chunk_records * rec_len` bytes, and a
+   1000-executor cluster gets (sum of records)/chunk_records parallel
+   tasks regardless of how many files there are.
+
+Coordinates decode as x = X_int * scale + offset (LAS 1.2 §2.2) in
+float64; quantization to the scale grid happens at WRITE time, so a
+round-trip through points whose coordinates sit on the grid is exact —
+what the `las_ingest_dsm` oracle gate pins.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+HEADER_SIZE = 227  # LAS 1.2 public header block
+_SIGNATURE = b"LASF"
+
+# point record dtypes, LAS 1.2 formats 0-3 (spec §3.3-§3.6)
+_P0 = [("X", "<i4"), ("Y", "<i4"), ("Z", "<i4"), ("intensity", "<u2"),
+       ("flags", "u1"), ("classification", "u1"), ("scan_angle", "i1"),
+       ("user_data", "u1"), ("point_source_id", "<u2")]
+_GPS = [("gps_time", "<f8")]
+_RGB = [("red", "<u2"), ("green", "<u2"), ("blue", "<u2")]
+_DTYPES = {
+    0: np.dtype(_P0),
+    1: np.dtype(_P0 + _GPS),
+    2: np.dtype(_P0 + _RGB),
+    3: np.dtype(_P0 + _GPS + _RGB),
+}
+
+POINTS_SCHEMA = ("x double, y double, z double, intensity int, "
+                 "return_number int, n_returns int, classification int, "
+                 "gps_time double, point_source_id int")
+
+
+def encode_las(x: np.ndarray, y: np.ndarray, z: np.ndarray,
+               classification: np.ndarray | None = None,
+               intensity: np.ndarray | None = None,
+               gps_time: np.ndarray | None = None,
+               return_number: np.ndarray | None = None,
+               scale: tuple[float, float, float] = (0.001, 0.001, 0.001),
+               offset: tuple[float, float, float] = (0.0, 0.0, 0.0),
+               point_format: int | None = None) -> bytes:
+    """Serialize arrays to an uncompressed LAS 1.2 byte string.
+
+    point_format defaults to 1 when gps_time is given, else 0.
+    Coordinates are quantized to the scale grid with round-half-even
+    (np.rint) — callers wanting exact round-trips put points ON the grid.
+    """
+    n = len(x)
+    if point_format is None:
+        point_format = 1 if gps_time is not None else 0
+    dt = _DTYPES[point_format]
+    rec = np.zeros(n, dtype=dt)
+    for axis, vals in (("X", x), ("Y", y), ("Z", z)):
+        i = "XYZ".index(axis)
+        rec[axis] = np.rint(
+            (np.asarray(vals, dtype=np.float64) - offset[i]) / scale[i]
+        ).astype(np.int64).astype(np.int32)
+    if classification is not None:
+        rec["classification"] = np.asarray(classification, dtype=np.uint8)
+    if intensity is not None:
+        rec["intensity"] = np.asarray(intensity, dtype=np.uint16)
+    rn = (np.asarray(return_number, dtype=np.uint8)
+          if return_number is not None else np.ones(n, dtype=np.uint8))
+    # flags byte: return number (3 bits) | number of returns (3 bits);
+    # single-return convention: n_returns = max(rn, 1)
+    rec["flags"] = (rn & 0x7) | ((np.maximum(rn, 1) & 0x7) << 3)
+    if gps_time is not None and "gps_time" in dt.names:
+        rec["gps_time"] = np.asarray(gps_time, dtype=np.float64)
+
+    by_return = np.zeros(5, dtype=np.uint32)
+    for r in range(1, 6):
+        by_return[r - 1] = int((rn == r).sum())
+
+    hdr = bytearray(HEADER_SIZE)
+    hdr[0:4] = _SIGNATURE
+    hdr[24] = 1  # version major
+    hdr[25] = 2  # version minor
+    hdr[26:26 + 17] = b"lidartree_spark\x00\x00"
+    hdr[58:58 + 17] = b"lidartree_spark\x00\x00"
+    struct.pack_into("<H", hdr, 94, HEADER_SIZE)
+    struct.pack_into("<I", hdr, 96, HEADER_SIZE)  # offset to point data
+    struct.pack_into("<I", hdr, 100, 0)           # no VLRs
+    hdr[104] = point_format
+    struct.pack_into("<H", hdr, 105, dt.itemsize)
+    struct.pack_into("<I", hdr, 107, n)
+    struct.pack_into("<5I", hdr, 111, *by_return.tolist())
+    struct.pack_into("<3d", hdr, 131, *scale)
+    struct.pack_into("<3d", hdr, 155, *offset)
+    xs = rec["X"].astype(np.float64) * scale[0] + offset[0]
+    ys = rec["Y"].astype(np.float64) * scale[1] + offset[1]
+    zs = rec["Z"].astype(np.float64) * scale[2] + offset[2]
+    if n:
+        struct.pack_into("<6d", hdr, 179,
+                         xs.max(), xs.min(), ys.max(), ys.min(),
+                         zs.max(), zs.min())
+    return bytes(hdr) + rec.tobytes()
+
+
+def decode_las_header(buf: bytes) -> dict:
+    """Parse the 227-byte LAS 1.2 public header. Fails loudly on a bad
+    signature, a version this reader does not implement, or a compressed
+    (LAZ) point format — silent mis-decoding beats nothing, per the
+    repo's codec guard policy."""
+    if buf[0:4] != _SIGNATURE:
+        raise ValueError("not a LAS file (bad LASF signature)")
+    vmaj, vmin = buf[24], buf[25]
+    if (vmaj, vmin) not in ((1, 0), (1, 1), (1, 2)):
+        raise NotImplementedError(
+            f"LAS {vmaj}.{vmin} unsupported (this reader implements the "
+            f"1.0-1.2 227-byte header; 1.3+ adds waveform fields)")
+    fmt = buf[104]
+    if fmt & 0x80:
+        raise NotImplementedError(
+            "LAZ (compressed) point records are out of scope — decompress "
+            "to .las externally")
+    if fmt not in _DTYPES:
+        raise NotImplementedError(f"point data format {fmt} (supported: 0-3)")
+    (rec_len,) = struct.unpack_from("<H", buf, 105)
+    if rec_len < _DTYPES[fmt].itemsize:
+        raise ValueError(
+            f"record length {rec_len} < format-{fmt} minimum "
+            f"{_DTYPES[fmt].itemsize}")
+    (n_records,) = struct.unpack_from("<I", buf, 107)
+    (offset_to_points,) = struct.unpack_from("<I", buf, 96)
+    scale = struct.unpack_from("<3d", buf, 131)
+    off = struct.unpack_from("<3d", buf, 155)
+    return {"point_format": int(fmt), "rec_len": int(rec_len),
+            "n_records": int(n_records),
+            "offset_to_points": int(offset_to_points),
+            "scale_x": scale[0], "scale_y": scale[1], "scale_z": scale[2],
+            "off_x": off[0], "off_y": off[1], "off_z": off[2]}
+
+
+def decode_las_points(buf: bytes, hdr: dict | None = None,
+                      start: int = 0, count: int | None = None
+                      ) -> pd.DataFrame:
+    """Decode records [start, start+count) of a LAS byte string into a
+    DataFrame matching POINTS_SCHEMA. Vectorized: one np.frombuffer over
+    the exact byte range, numpy field math for coords/flags."""
+    if hdr is None:
+        hdr = decode_las_header(buf)
+    n = hdr["n_records"]
+    if count is None:
+        count = n - start
+    count = max(0, min(count, n - start))
+    dt = _DTYPES[hdr["point_format"]]
+    base = hdr["offset_to_points"] + start * hdr["rec_len"]
+    raw = buf[base:base + count * hdr["rec_len"]]
+    if hdr["rec_len"] == dt.itemsize:
+        rec = np.frombuffer(raw, dtype=dt, count=count)
+    else:  # extra bytes per record: stride through a padded dtype view
+        padded = np.dtype({"names": list(dt.names),
+                           "formats": [dt.fields[f][0] for f in dt.names],
+                           "offsets": [dt.fields[f][1] for f in dt.names],
+                           "itemsize": hdr["rec_len"]})
+        rec = np.frombuffer(raw, dtype=padded, count=count)
+    return pd.DataFrame({
+        "x": rec["X"].astype(np.float64) * hdr["scale_x"] + hdr["off_x"],
+        "y": rec["Y"].astype(np.float64) * hdr["scale_y"] + hdr["off_y"],
+        "z": rec["Z"].astype(np.float64) * hdr["scale_z"] + hdr["off_z"],
+        "intensity": rec["intensity"].astype(np.int32),
+        "return_number": (rec["flags"] & 0x7).astype(np.int32),
+        "n_returns": ((rec["flags"] >> 3) & 0x7).astype(np.int32),
+        "classification": rec["classification"].astype(np.int32),
+        "gps_time": (rec["gps_time"].astype(np.float64)
+                     if "gps_time" in dt.names
+                     else np.full(count, np.nan)),
+        "point_source_id": rec["point_source_id"].astype(np.int32),
+    })
+
+
+def read_las(spark, paths, chunk_records: int = 2_000_000):
+    """Distributed LAS 1.2 reader: directory/glob/list -> point DataFrame.
+
+    Header scan (227 B/file) and point decode both run as mapInPandas
+    stages; the unit of parallelism is a fixed-size record range, not a
+    file, so one 10-billion-point flight line becomes thousands of tasks
+    and a million small tiles coalesce into full batches. Returns
+    POINTS_SCHEMA columns + `path`.
+    """
+    import glob as _glob
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    if isinstance(paths, str):
+        if _os.path.isdir(paths):
+            flist = sorted(_glob.glob(_os.path.join(paths, "*.las")))
+        else:
+            flist = sorted(_glob.glob(paths))
+    else:
+        flist = sorted(paths)
+    if not flist:
+        raise FileNotFoundError(f"no .las files match {paths!r}")
+
+    files = spark.createDataFrame(pd.DataFrame({"path": flist})).repartition(
+        min(len(flist), spark.sparkContext.defaultParallelism))
+
+    def scan_headers(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                with open(p, "rb") as f:
+                    h = decode_las_header(f.read(HEADER_SIZE))
+                h["path"] = p
+                out.append(h)
+            yield pd.DataFrame(
+                out, columns=["path", "point_format", "rec_len", "n_records",
+                              "offset_to_points", "scale_x", "scale_y",
+                              "scale_z", "off_x", "off_y", "off_z"])
+
+    manifest = files.mapInPandas(
+        scan_headers,
+        schema=("path string, point_format int, rec_len int, n_records long,"
+                " offset_to_points long, scale_x double, scale_y double,"
+                " scale_z double, off_x double, off_y double, off_z double"))
+
+    chunks = manifest.select(
+        "*",
+        F.explode(F.sequence(
+            F.lit(0),
+            F.greatest(
+                (F.col("n_records") - 1) / F.lit(chunk_records),
+                F.lit(0)).cast("long"))).alias("chunk"),
+    ).withColumn("start_rec", F.col("chunk") * F.lit(chunk_records)) \
+     .withColumn("n_recs",
+                 F.least(F.lit(chunk_records),
+                         F.col("n_records") - F.col("start_rec")))
+
+    def parse_chunks(batches):
+        for pdf in batches:
+            for rec in pdf.itertuples(index=False):
+                if rec.n_recs <= 0:
+                    continue
+                hdr = {"point_format": int(rec.point_format),
+                       "rec_len": int(rec.rec_len),
+                       "n_records": int(rec.n_recs),
+                       "offset_to_points": 0,
+                       "scale_x": rec.scale_x, "scale_y": rec.scale_y,
+                       "scale_z": rec.scale_z, "off_x": rec.off_x,
+                       "off_y": rec.off_y, "off_z": rec.off_z}
+                base = rec.offset_to_points + rec.start_rec * rec.rec_len
+                with open(rec.path, "rb") as f:
+                    f.seek(base)
+                    raw = f.read(int(rec.n_recs) * int(rec.rec_len))
+                out = decode_las_points(raw, hdr)
+                out["path"] = rec.path
+                yield out
+
+    # spread chunk rows across the cluster (spark.sql.shuffle.partitions
+    # governs width, like any keyed shuffle) so each decode task owns a
+    # bounded byte range; the manifest is metadata-sized, the shuffle moves
+    # only chunk descriptors, never point bytes
+    return chunks.repartition("path", "chunk").mapInPandas(
+        parse_chunks, schema=POINTS_SCHEMA + ", path string")

@@ -28,7 +28,7 @@ def coregister(tiles: DataFrame, trees: DataFrame, buffer: float = 4.0,
     def run(key, tiles_pdf: pd.DataFrame, trees_pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
         from lidartree_spark.codecs import decode_tile
-        from lidartree_spark.generator import tile_origin
+        from lidartree_spark.generator import parse_tile_id, tile_origin
         from lidartree_spark.kernels.coreg import (
             raster_local_max,
             rasters_moving_cor,
@@ -40,8 +40,7 @@ def coregister(tiles: DataFrame, trees: DataFrame, buffer: float = 4.0,
         rec = next(tiles_pdf.itertuples(index=False))
         chm = np.nan_to_num(
             decode_tile(rec.bytes, rec.fmt, rec.w, rec.h), nan=0.0)
-        row = int(rec.image_id[1:5])
-        col = int(rec.image_id[6:10])
+        row, col = parse_tile_id(rec.image_id)
         x0, y1 = tile_origin(row, col, rec.w, rec.h, res)
         # rasterize trees: cell = max height (terra::rasterize fun=max)
         virtual = np.zeros_like(chm)

@@ -47,7 +47,7 @@ def detect_trees(tiles: DataFrame, params: dict | None = None,
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         from lidartree_spark.codecs import decode_tile
-        from lidartree_spark.generator import tile_origin
+        from lidartree_spark.generator import parse_tile_id, tile_origin
         from lidartree_spark.kernels.extraction import tree_extraction
         from lidartree_spark.kernels.segmentation import tree_segmentation
         res = p["res"]
@@ -60,8 +60,7 @@ def detect_trees(tiles: DataFrame, params: dict | None = None,
                     nl_size=p["nl_size"], sigma=p["sigma"],
                     max_width=p["max_width"], hmin=p["hmin"], dmin=p["dmin"],
                     dprop=p["dprop"], prop=p["prop"], min_value=p["min_value"])
-                row = int(rec.image_id[1:5])
-                col = int(rec.image_id[6:10])
+                row, col = parse_tile_id(rec.image_id)
                 pad = int(getattr(rec, "pad", 0))
                 w_core, h_core = rec.w - 2 * pad, rec.h - 2 * pad
                 x0, y1 = tile_origin(row, col, w_core, h_core, res)

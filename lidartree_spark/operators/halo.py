@@ -37,12 +37,12 @@ def with_halo(tiles: DataFrame, halo_px: int = 16) -> DataFrame:
     def emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         from lidartree_spark.codecs import decode_tile, encode_tile
+        from lidartree_spark.generator import parse_tile_id
         for pdf in batches:
             out = []
             for rec in pdf.itertuples(index=False):
                 arr = decode_tile(rec.bytes, rec.fmt, rec.w, rec.h)
-                r = int(rec.image_id[1:5])
-                c = int(rec.image_id[6:10])
+                r, c = parse_tile_id(rec.image_id)
 
                 def tid(rr, cc):
                     return f"t{rr:04d}_{cc:04d}"
@@ -68,7 +68,10 @@ def with_halo(tiles: DataFrame, halo_px: int = 16) -> DataFrame:
                 }
                 for (dr, dc), (part, sub) in strips.items():
                     rr, cc = r + dr, c + dc
-                    if rr < 0 or cc < 0 or rr > 9999 or cc > 9999:
+                    # no upper bound: ids are min-width (t10000_0000 is
+                    # valid); strips addressed to tiles absent from the
+                    # corpus are dropped in assemble (no "self" part)
+                    if rr < 0 or cc < 0:
                         continue
                     out.append({"target": tid(rr, cc), "part": part,
                                 "bytes": encode_tile(

@@ -133,7 +133,7 @@ def detect_and_match(tiles: DataFrame, ref: DataFrame,
     def run(batches):
         import numpy as np
         from lidartree_spark.codecs import decode_tile
-        from lidartree_spark.generator import tile_origin
+        from lidartree_spark.generator import parse_tile_id, tile_origin
         from lidartree_spark.kernels.extraction import tree_extraction
         from lidartree_spark.kernels.matching import tree_matching
         from lidartree_spark.kernels.segmentation import tree_segmentation
@@ -152,8 +152,7 @@ def detect_and_match(tiles: DataFrame, ref: DataFrame,
                     max_width=p["max_width"], hmin=p["hmin"], dmin=p["dmin"],
                     dprop=p["dprop"], prop=p["prop"],
                     min_value=p["min_value"])
-                row = int(rec.image_id[1:5])
-                col = int(rec.image_id[6:10])
+                row, col = parse_tile_id(rec.image_id)
                 pad = int(getattr(rec, "pad", 0))
                 w_core, h_core = rec.w - 2 * pad, rec.h - 2 * pad
                 x0, y1 = tile_origin(row, col, w_core, h_core, res)

@@ -111,13 +111,12 @@ def decode_check(tiles: DataFrame) -> DataFrame:
     def check(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
         from lidartree_spark.codecs import decode_tile, phash64, psnr
-        from lidartree_spark.generator import gen_tile
+        from lidartree_spark.generator import gen_tile, parse_tile_id
         for pdf in batches:
             out = []
             for rec in pdf.itertuples(index=False):
                 arr = decode_tile(rec.bytes, rec.fmt, rec.w, rec.h)
-                row = int(rec.image_id[1:5])
-                col = int(rec.image_id[6:10])
+                row, col = parse_tile_id(rec.image_id)
                 _, truth, trees = gen_tile(row, col, rec.w, rec.h)
                 from lidartree_spark.generator import RES
                 want_cap = (f"canopy height tile {rec.image_id} with "

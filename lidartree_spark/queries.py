@@ -4103,6 +4103,7 @@ def _points2dtm_tin_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cells(batches):
         import numpy as np
         from lidartree_spark.codecs import decode_tile
+        from lidartree_spark.generator import parse_tile_id
         for pdf in batches:
             frames = []
             for rec in pdf.itertuples(index=False):
@@ -4110,7 +4111,7 @@ def _points2dtm_tin_plane(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ii, jj = np.meshgrid(np.arange(rec.h), np.arange(rec.w),
                                      indexing="ij")
                 frames.append(pd.DataFrame({
-                    "col": int(rec.image_id[6:10]),
+                    "col": parse_tile_id(rec.image_id)[1],
                     "i": ii.ravel().astype(np.int32),
                     "j": jj.ravel().astype(np.int32),
                     "z": np.round(a.astype(np.float64).ravel(), 3)}))
@@ -6737,6 +6738,91 @@ _EXTENDED["dsir_select"] = (_stat_filters_sql("spark", "dsir"),
                             _stat_filters_sql("duck", "dsir"))
 _EXTENDED["tfidf_keywords"] = (_stat_filters_sql("spark", "tfidf"),
                                _stat_filters_sql("duck", "tfidf"))
+
+
+# --- LAS 1.2 point-cloud ingestion gate (round 4) --------------------------
+# The reference's native input is a .laz file read by lidR::readLAS
+# (/root/reference/R/common.R:16-20; inst/extdata las_chablais3.laz). This
+# gate closes the uncompressed-container parity gap END TO END: it PLANTS
+# real LAS 1.2 bytes on disk (3 files, point format 1, power-of-two scale
+# factors so every coordinate decodes to an exact double), reads them back
+# through the DISTRIBUTED reader (header-manifest scan -> record-range
+# chunks -> vectorized struct decode; chunk_records=2048 forces 3 chunks
+# per file so the range math is exercised, not bypassed), and aggregates
+# the points to DSM cells (the points2DSM max-per-cell rule,
+# common.R:53-70) plus attribute-roundtrip sums. DuckDB re-derives every
+# row from the closed-form point formula — any header/stride/scale/flag
+# decode error lands in some cell's aggregate.
+_LAS_GATE_N = 15000  # 3 files x 5000 points
+
+
+def _las_plant_files() -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from lidartree_spark.las import encode_las
+    d = os.path.join(tempfile.gettempdir(), "lidartree_las_gate_v1")
+    os.makedirs(d, exist_ok=True)
+    for f in range(3):
+        g = np.arange(f * 5000, (f + 1) * 5000, dtype=np.int64)
+        path = os.path.join(d, f"part{f}.las")
+        if os.path.exists(path):
+            continue
+        buf = encode_las(
+            x=(g % 200) * 0.25, y=((g * 7) % 160) * 0.25,
+            z=(g % 97) * 0.125,
+            classification=np.where(g % 5 == 0, 2, 1),
+            intensity=(g * 13) % 1024,
+            gps_time=g * 0.5,
+            return_number=1 + (g % 3).astype(np.int64),
+            # powers of two: X_int * scale is exact binary arithmetic, so
+            # the decoded doubles equal the oracle's closed forms bit-wise
+            scale=(0.25, 0.25, 0.125), offset=(0.0, 0.0, 0.0),
+            point_format=1)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(buf)
+        os.replace(tmp, path)
+    return d
+
+
+def _las_ingest_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lidartree_spark.las import read_las
+    d = _las_plant_files()
+    pts = read_las(spark, d, chunk_records=2048)
+    return (pts
+            .groupBy(F.floor("x").cast("long").alias("cx"),
+                     F.floor("y").cast("long").alias("cy"))
+            .agg(F.max("z").alias("z_max"),
+                 F.count("*").cast("long").alias("n_points"),
+                 F.sum(F.when(F.col("classification") == 2, 1)
+                        .otherwise(0)).cast("long").alias("n_ground"),
+                 F.sum("intensity").cast("long").alias("intensity_sum"),
+                 F.max("gps_time").alias("t_max"),
+                 F.max("return_number").cast("int").alias("rn_max")))
+
+
+_LAS_INGEST_DUCK = f"""
+WITH p AS (
+  SELECT g, (g % 200) * CAST(0.25 AS DOUBLE) AS x,
+         ((g * 7) % 160) * CAST(0.25 AS DOUBLE) AS y,
+         (g % 97) * CAST(0.125 AS DOUBLE) AS z,
+         CASE WHEN g % 5 = 0 THEN 2 ELSE 1 END AS cls,
+         (g * 13) % 1024 AS inten,
+         g * CAST(0.5 AS DOUBLE) AS gps, 1 + (g % 3) AS rn
+  FROM UNNEST(generate_series(0, {_LAS_GATE_N - 1})) t(g)
+)
+SELECT CAST(FLOOR(x) AS BIGINT) AS cx, CAST(FLOOR(y) AS BIGINT) AS cy,
+       MAX(z) AS z_max, CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN cls = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ground,
+       CAST(SUM(inten) AS BIGINT) AS intensity_sum,
+       MAX(gps) AS t_max, CAST(MAX(rn) AS INT) AS rn_max
+FROM p GROUP BY 1, 2
+"""
+
+_EXTENDED["las_ingest_dsm"] = (_las_ingest_gate, _LAS_INGEST_DUCK)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
