@@ -3442,6 +3442,44 @@ def _coreg_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round(F.col("corr"), 6).alias("corr"))
 
 
+def _coreg_kernel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-budget merge (round 4): the two coreg KERNEL gates —
+    rasters_moving_cor's full correlation surface (coreg_surface) and
+    raster_local_max's dominance-filtered top-2 statistics — share one
+    section-tagged long-format row, freeing a driver slot for the
+    points_lifecycle_stats composite (the complete points branch, the one
+    codepath no driver row exercised end-to-end). Both constituents stay
+    individually verified in the extended set."""
+    surf = _coreg_surface(spark, sf_dir).selectExpr(
+        "'surface' AS section", "CAST(tile AS INT) AS tile",
+        "dx AS kx", "dy AS ky", "'corr' AS metric", "corr AS v")
+    lm = _raster_local_max_gate(spark, sf_dir).selectExpr(
+        "'localmax' AS section", "tile",
+        "CAST(0 AS BIGINT) AS kx", "CAST(0 AS BIGINT) AS ky",
+        "stack(10, 'max1', max1, 'dx1', dx1, 'dy1', dy1, 'dx2', dx2, "
+        "'dy2', dy2, 'ratiomax1max2', ratiomax1max2, "
+        "'rmedloc1', rmedloc1, 'rmedloc2', rmedloc2, "
+        "'rquanta', rquanta, 'rquantb', rquantb) AS (metric, v)")
+    return surf.unionByName(lm)
+
+
+def _coreg_kernel_duck() -> str:
+    lm_cols = ["max1", "dx1", "dy1", "dx2", "dy2", "ratiomax1max2",
+               "rmedloc1", "rmedloc2", "rquanta", "rquantb"]
+    unpiv = "\nUNION ALL ".join(
+        f"SELECT 'localmax' AS section, tile, CAST(0 AS BIGINT) AS kx, "
+        f"CAST(0 AS BIGINT) AS ky, '{c}' AS metric, {c} AS v FROM lm"
+        for c in lm_cols)
+    return f"""
+WITH surf AS ({_COREG_SURF_DUCK}),
+lm AS ({_RASTER_LOCAL_MAX_DUCK})
+SELECT 'surface' AS section, CAST(tile AS INT) AS tile, dx AS kx, dy AS ky,
+       'corr' AS metric, corr AS v
+FROM surf
+UNION ALL {unpiv}
+"""
+
+
 # Marker-controlled watershed (tree_detection.R:621-649, imager::watershed
 # semantics) against a fully relational oracle. Both engines derive the same
 # deterministic cone field: 7 seeds per tile at integer positions, priority
@@ -4609,9 +4647,18 @@ _DIALECT["cell_index_dual"] = (_cell_index_dual, _CELL_DUAL_DUCK)
 _DIALECT["training_data_pipeline"] = (_training_pipeline, _TD_PIPELINE_DUCK)
 # promotions: round-3 composite pins enter the driver budget
 for _n in ("catalog_roi_stats", "checkpoint_resume_stats",
-           "halo_dominance_stats", "gap_merge_mosaic", "raster_local_max",
+           "halo_dominance_stats", "gap_merge_mosaic",
            "coregistration_stats"):
     _DIALECT[_n] = _EXTENDED.pop(_n)
+# Round-4 repack: the two coreg KERNEL gates merge into one section-tagged
+# row (coreg_kernel_stats) and the freed slot promotes the
+# points_lifecycle_stats composite (complete points->DTM->DSM->CHM->detect
+# chain, previously extended-only). raster_local_max stays in _EXTENDED and
+# coreg_surface demotes there, so both constituents remain individually
+# verified by the local gate set.
+_EXTENDED["coreg_surface"] = _DIALECT.pop("coreg_surface")
+_DIALECT["coreg_kernel_stats"] = (_coreg_kernel_stats, _coreg_kernel_duck())
+_DIALECT["points_lifecycle_stats"] = _EXTENDED.pop("points_lifecycle_stats")
 
 
 # --- multimodal VIDEO gate (extended set; the 50-row budget is full) -------
