@@ -195,6 +195,48 @@ def decode_las_points(buf: bytes, hdr: dict | None = None,
     })
 
 
+def write_las(df, directory: str,
+              scale: tuple[float, float, float] = (0.001, 0.001, 0.001),
+              offset: tuple[float, float, float] = (0.0, 0.0, 0.0),
+              point_format: int | None = None):
+    """Distributed LAS 1.2 sink: one `part-{partition:05d}.las` file per
+    non-empty partition (written atomically via tmp+rename, the parquet
+    committer convention). Requires (x, y, z) columns; classification /
+    intensity / gps_time / return_number are encoded when present. The
+    file is assembled per partition, so a partition must fit one task's
+    memory — size the upstream repartition accordingly, exactly as with
+    any file-per-partition sink. Returns an UNEXECUTED plan of
+    (path, n_records) rows; trigger it with an action (.collect/.count).
+    """
+    import os as _os
+
+    cols = set(df.columns)
+    opt = [c for c in ("classification", "intensity", "gps_time",
+                       "return_number") if c in cols]
+    _os.makedirs(directory, exist_ok=True)
+
+    def emit(batches):
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        parts = list(batches)
+        if not parts or sum(len(p) for p in parts) == 0:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        kw = {c: pdf[c].to_numpy() for c in opt}
+        buf = encode_las(pdf["x"].to_numpy(), pdf["y"].to_numpy(),
+                         pdf["z"].to_numpy(), scale=scale, offset=offset,
+                         point_format=point_format, **kw)
+        path = _os.path.join(directory, f"part-{pid:05d}.las")
+        tmp = path + ".inprogress"
+        with open(tmp, "wb") as fh:
+            fh.write(buf)
+        _os.replace(tmp, path)
+        yield pd.DataFrame([{"path": path, "n_records": len(pdf)}])
+
+    return df.select("x", "y", "z", *opt).mapInPandas(
+        emit, schema="path string, n_records long")
+
+
 def read_las(spark, paths, chunk_records: int = 2_000_000):
     """Distributed LAS 1.2 reader: directory/glob/list -> point DataFrame.
 

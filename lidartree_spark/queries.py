@@ -6872,6 +6872,62 @@ FROM p GROUP BY 1, 2
 _EXTENDED["las_ingest_dsm"] = (_las_ingest_gate, _LAS_INGEST_DUCK)
 
 
+def _las_lifecycle_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The points_lifecycle chain FROM A .las FILE: the same plane+spike
+    construction as points_lifecycle_stats, but the points round-trip
+    through the DISTRIBUTED LAS sink (write_las, one file per partition)
+    and the distributed reader (read_las) before the TIN-DTM + DSM + CHM +
+    detection chain — i.e. a lidR user's `readLAS -> tree_detection`
+    workflow end to end, ground/canopy split by LAS classification
+    (2 = ground, ASPRS standard). The oracle is points_lifecycle's,
+    VERBATIM: z = 100 + 0.05x + 0.03y sits exactly on the 0.0025 LAS
+    z-grid (0.0125 = 5 units, 0.0075 = 3 units, H integer), and x, y on
+    the 0.25 grid, so the LAS quantization is a bit-level no-op and every
+    CHM value survives unchanged."""
+    import tempfile
+
+    from lidartree_spark.las import read_las, write_las
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.operators.rasterize import (
+        normalize_tiles,
+        points_to_dtm_tiles,
+        points_to_tiles,
+    )
+    ground = spark.range(128 * 128).selectExpr(
+        "CAST(id % 128 AS INT) AS cx", "CAST(id DIV 128 AS INT) AS cy",
+    ).selectExpr(
+        "(cx + 0.5) * 0.5 AS x", "(cy + 0.5) * 0.5 AS y",
+        "100.0 + 0.05 * ((cx + 0.5) * 0.5) "
+        "+ 0.03 * ((cy + 0.5) * 0.5) AS z",
+        "2 AS classification")
+    canopy = spark.range(16).selectExpr(
+        "CAST(id DIV 4 AS INT) AS R", "CAST(id % 4 AS INT) AS C",
+    ).selectExpr(
+        "CAST(64 * (C DIV 2) + 8 + 32 * (C % 2) AS INT) AS cx",
+        "CAST(64 * (R DIV 2) + 55 - 32 * (R % 2) AS INT) AS cy",
+        "CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) AS hh",
+    ).selectExpr(
+        "(cx + 0.5) * 0.5 AS x", "(cy + 0.5) * 0.5 AS y",
+        "100.0 + 0.05 * ((cx + 0.5) * 0.5) "
+        "+ 0.03 * ((cy + 0.5) * 0.5) + hh AS z",
+        "1 AS classification")
+    d = tempfile.mkdtemp(prefix="lidartree_las_lc_")
+    pts = ground.unionByName(canopy).repartition(8)
+    write_las(pts, d, scale=(0.25, 0.25, 0.0025)).count()  # trigger sink
+    back = read_las(spark, d, chunk_records=4096)
+    g2 = back.where("classification = 2").select("x", "y", "z")
+    dtm = points_to_dtm_tiles(g2, halo_m=8.0)
+    dsm = points_to_tiles(back.select("x", "y", "z"))
+    det = detect_trees(normalize_tiles(dsm, dtm))
+    return det.select(
+        "image_id", "x", "y", F.round("h", 3).alias("h"), "dom_radius",
+        F.round("s", 6).alias("s"), F.round("v", 3).alias("v"))
+
+
+_EXTENDED["las_lifecycle_detect"] = (_las_lifecycle_gate,
+                                     _POINTS_LIFECYCLE_DUCK)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SHARED.items():

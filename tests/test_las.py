@@ -136,3 +136,33 @@ def test_distributed_read_matches_local(spark, tmp_path):
 def test_read_las_missing(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_las(spark, str(tmp_path / "nope"))
+
+
+def test_write_las_distributed_roundtrip(spark, tmp_path):
+    """write_las (one file per partition, atomic rename) -> read_las
+    recovers every row; empty partitions produce no file."""
+    import pyspark.sql.functions as F
+    d = str(tmp_path / "sink")
+    from lidartree_spark.las import write_las
+    pts = spark.range(5000).selectExpr(
+        "CAST(id % 200 AS DOUBLE) * 0.25 AS x",
+        "CAST((id * 3) % 160 AS DOUBLE) * 0.25 AS y",
+        "CAST(id % 97 AS DOUBLE) * 0.125 AS z",
+        "CAST(CASE WHEN id % 4 = 0 THEN 2 ELSE 1 END AS INT) "
+        "AS classification",
+        "CAST(id AS DOUBLE) * 0.5 AS gps_time",
+    ).repartition(12)  # includes the chance of an empty partition
+    manifest = write_las(pts, d, scale=(0.25, 0.25, 0.125)).collect()
+    assert sum(r["n_records"] for r in manifest) == 5000
+    assert all(r["path"].endswith(".las") for r in manifest)
+    back = read_las(spark, d, chunk_records=1024)
+    assert back.count() == 5000
+    agg = back.agg(
+        F.sum("z").alias("sz"),
+        F.sum(F.when(F.col("classification") == 2, 1).otherwise(0))
+         .alias("ng"),
+        F.max("gps_time").alias("tg")).collect()[0]
+    g = np.arange(5000)
+    assert agg["sz"] == float(((g % 97) * 0.125).sum())
+    assert agg["ng"] == int((g % 4 == 0).sum())
+    assert agg["tg"] == 4999 * 0.5
