@@ -16,9 +16,10 @@ pipeline runs at local[1] (N) and local[4] (4N) on the SAME input, each in a
 FRESH subprocess (own JVM) with a warmup pass so JIT/classloading cost does
 not bias either level. N=1 is the cleanest 4x step on this box: the 32
 "cores" are ~16 physical + SMT, and a raw multiprocessing control of the
-same per-tile work (tools/mp_control.py) measures 8->32 at 0.773-0.802 —
-at/below the 0.8 gate with zero engine overhead, no headroom for any
-engine — vs a 0.81-0.87 hardware ceiling for 1->4 (ladder recorded in
+same per-tile work (tools/mp_control.py, identical tile set at every
+level) measures 8->32 at 0.61-0.70 — far below the 0.8 gate with zero
+engine overhead, no headroom for any engine — vs an essentially perfect
+0.97-1.05 hardware ceiling for 1->4 (ladder recorded in
 BENCH/BASELINE.md).
 Measurement protocol baked into the recorded run (shared-host hygiene):
   - the scaling corpus is big enough that Spark's fixed per-run latency is
@@ -230,7 +231,12 @@ def run_skew_bench(spark) -> dict:
         spark.conf.set(adv_conf, old_adv)
     import math
     ref = vals["unsalted"]
-    assert all(math.isclose(v, ref, rel_tol=1e-9) for v in vals.values()), \
+    # 1e-6: the legs sum ~768M float terms in different accumulation
+    # orders (one 154M-term hot chain vs 8 independent bucket chains) —
+    # order drift can reach ~n*eps ≈ 1e-8 relative, while a semantic
+    # divergence (wrong join rewrite) shifts the total by >= one light
+    # row's contribution, many orders above this tolerance
+    assert all(math.isclose(v, ref, rel_tol=1e-6) for v in vals.values()), \
         f"salted/unsalted results diverge: {vals}"
     return {
         "n_heavy": n_heavy, "hot_frac": 0.2, "n_light": n_cells * k_light,

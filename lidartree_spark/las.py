@@ -78,9 +78,20 @@ def encode_las(x: np.ndarray, y: np.ndarray, z: np.ndarray,
     rec = np.zeros(n, dtype=dt)
     for axis, vals in (("X", x), ("Y", y), ("Z", z)):
         i = "XYZ".index(axis)
-        rec[axis] = np.rint(
+        scaled = np.rint(
             (np.asarray(vals, dtype=np.float64) - offset[i]) / scale[i]
-        ).astype(np.int64).astype(np.int32)
+        ).astype(np.int64)
+        # int32 is the spec's coordinate width: overflow means the caller's
+        # scale/offset cannot represent these coordinates — raise, never
+        # wrap (real UTM coords with mm scale and offset 0 overflow; pass
+        # an offset near the data like every LAS producer does)
+        if n and (scaled.max() > 2**31 - 1 or scaled.min() < -(2**31)):
+            raise ValueError(
+                f"{axis} coordinates overflow int32 at scale={scale[i]}, "
+                f"offset={offset[i]} (scaled range {scaled.min()}.."
+                f"{scaled.max()}); choose an offset/scale that brackets "
+                f"the data")
+        rec[axis] = scaled.astype(np.int32)
     if classification is not None:
         rec["classification"] = np.asarray(classification, dtype=np.uint8)
     if intensity is not None:
@@ -129,6 +140,10 @@ def decode_las_header(buf: bytes) -> dict:
     repo's codec guard policy."""
     if buf[0:4] != _SIGNATURE:
         raise ValueError("not a LAS file (bad LASF signature)")
+    if len(buf) < HEADER_SIZE:
+        raise ValueError(
+            f"truncated LAS header: {len(buf)} bytes < the {HEADER_SIZE}-"
+            f"byte LAS 1.x public header (partial write/upload?)")
     vmaj, vmin = buf[24], buf[25]
     if (vmaj, vmin) not in ((1, 0), (1, 1), (1, 2)):
         raise NotImplementedError(

@@ -98,6 +98,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
     identical because the component representative is the lexicographic
     min node either way."""
     raw = pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    raw_cached = False
     if driver_threshold > 0:
         # Cheap pre-guard: |symmetrized distinct edges| <= 2 * |raw|, and
         # raw.count() is a shuffle-free scan — so when the edge set is big
@@ -105,11 +106,15 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
         # single row on the driver. (The previous limit+collect probe
         # pulled up to threshold+1 padded-string Rows — hundreds of MB —
         # onto the driver just to DECIDE, a driver-OOM risk near the
-        # threshold.)
+        # threshold.) raw is persisted across count + collect so the
+        # upstream pair-producing lineage (often a join chain) runs once.
+        raw = raw.persist()
+        raw_cached = True
         if 2 * raw.count() <= driver_threshold:
             sample = (raw.union(raw.select(F.col("v").alias("u"),
                                            F.col("u").alias("v")))
                       .distinct().collect())
+            raw.unpersist()
             parent: dict[str, str] = {}
 
             def find(x: str) -> str:
@@ -182,6 +187,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 25,
               .agg(F.min("v").alias("comp"))
               .persist())
     labels.count()
+    if raw_cached:
+        # the pre-guard's cache has served the contraction; the loop below
+        # works on stars/labels only
+        raw.unpersist()
     changed = 0
     for _ in range(max_iters):
         neigh = (loop_edges.join(labels.withColumnRenamed("node", "v")
@@ -319,9 +328,21 @@ def detect_gaps_global(tiles: DataFrame, params: dict | None = None,
 
     labeled = padded.mapInPandas(run, schema=_LABELED_SCHEMA).persist()
     gaps = labeled.where("kind = 'gap'")
+    # regex parse with a loud raise, NOT fixed-position substring: ids are
+    # min-width (t10000_0003 is valid), and a truncated parse would build
+    # colliding boundary keys that merge gaps across unrelated tile pairs
+    rx = "^[tp]([0-9]+)_([0-9]+)$"
+    bad = ("CAST(raise_error(CONCAT('merge_gaps: unparseable tile id ', "
+           "image_id)) AS INT)")
     borders = (labeled.where("kind = 'border'")
-               .withColumn("r", F.substring("image_id", 2, 4).cast("int"))
-               .withColumn("c", F.substring("image_id", 7, 4).cast("int"))
+               .withColumn("r", F.expr(
+                   f"CASE WHEN image_id RLIKE '{rx}' THEN "
+                   f"CAST(regexp_extract(image_id, '{rx}', 1) AS INT) "
+                   f"ELSE {bad} END"))
+               .withColumn("c", F.expr(
+                   f"CASE WHEN image_id RLIKE '{rx}' THEN "
+                   f"CAST(regexp_extract(image_id, '{rx}', 2) AS INT) "
+                   f"ELSE {bad} END"))
                .withColumn("node", F.concat_ws("|", "image_id", "gap_id")))
     # boundary keys: vertical boundary ('v', r, c) sits between (r, c) and
     # (r, c+1); horizontal ('h', r, c) between (r, c) and (r+1, c). Array

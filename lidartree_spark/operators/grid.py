@@ -20,12 +20,26 @@ TILE_H = 64
 RES = 0.5
 
 
+_TILE_RX = "^[tp]([0-9]+)_([0-9]+)$"
+
+
+def _tile_part(image_id: Column, group: int) -> Column:
+    # regex parse with a loud raise — the 4-digit padding is a MINIMUM
+    # width, so fixed-position substrings truncate at >= 10000 rows/cols
+    bad = F.raise_error(
+        F.concat(F.lit("tile id unparseable: "), image_id)).cast("int")
+    return F.when(
+        image_id.rlike(_TILE_RX),
+        F.regexp_extract(image_id, _TILE_RX, group).cast("int")
+    ).otherwise(bad)
+
+
 def tile_row(image_id: Column) -> Column:
-    return F.substring(image_id, 2, 4).cast("int")
+    return _tile_part(image_id, 1)
 
 
 def tile_col(image_id: Column) -> Column:
-    return F.substring(image_id, 7, 4).cast("int")
+    return _tile_part(image_id, 2)
 
 
 def tile_bbox(image_id: Column, w: Column, h: Column, res: float = RES):

@@ -2142,6 +2142,33 @@ JOIN q ON q.t = m1.t
 """
 
 
+def _lifecycle_points(spark: SparkSession, with_class: bool = False):
+    """Shared plane+spike point construction for points_lifecycle_stats
+    and las_lifecycle_detect (both verify against _POINTS_LIFECYCLE_DUCK,
+    so the formulas must stay byte-identical — hence ONE builder).
+    Returns (ground, canopy); with_class adds the ASPRS classification
+    column (2 = ground, 1 = canopy)."""
+    gext = ["2 AS classification"] if with_class else []
+    cext = ["1 AS classification"] if with_class else []
+    ground = spark.range(128 * 128).selectExpr(
+        "CAST(id % 128 AS INT) AS cx", "CAST(id DIV 128 AS INT) AS cy",
+    ).selectExpr(
+        "(cx + 0.5) * 0.5 AS x", "(cy + 0.5) * 0.5 AS y",
+        "100.0 + 0.05 * ((cx + 0.5) * 0.5) "
+        "+ 0.03 * ((cy + 0.5) * 0.5) AS z", *gext)
+    canopy = spark.range(16).selectExpr(
+        "CAST(id DIV 4 AS INT) AS R", "CAST(id % 4 AS INT) AS C",
+    ).selectExpr(
+        "CAST(64 * (C DIV 2) + 8 + 32 * (C % 2) AS INT) AS cx",
+        "CAST(64 * (R DIV 2) + 55 - 32 * (R % 2) AS INT) AS cy",
+        "CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) AS hh",
+    ).selectExpr(
+        "(cx + 0.5) * 0.5 AS x", "(cy + 0.5) * 0.5 AS y",
+        "100.0 + 0.05 * ((cx + 0.5) * 0.5) "
+        "+ 0.03 * ((cy + 0.5) * 0.5) + hh AS z", *cext)
+    return ground, canopy
+
+
 def _points_lifecycle_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE points branch of tree_detection
     (tree_detection.R:173-206): ground points -> TIN DTM (points2DTM,
@@ -2164,22 +2191,7 @@ def _points_lifecycle_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         points_to_dtm_tiles,
         points_to_tiles,
     )
-    ground = spark.range(128 * 128).selectExpr(
-        "CAST(id % 128 AS INT) AS cx", "CAST(id DIV 128 AS INT) AS cy",
-    ).selectExpr(
-        "(cx + 0.5) * 0.5 AS x", "(cy + 0.5) * 0.5 AS y",
-        "100.0 + 0.05 * ((cx + 0.5) * 0.5) "
-        "+ 0.03 * ((cy + 0.5) * 0.5) AS z")
-    canopy = spark.range(16).selectExpr(
-        "CAST(id DIV 4 AS INT) AS R", "CAST(id % 4 AS INT) AS C",
-    ).selectExpr(
-        "CAST(64 * (C DIV 2) + 8 + 32 * (C % 2) AS INT) AS cx",
-        "CAST(64 * (R DIV 2) + 55 - 32 * (R % 2) AS INT) AS cy",
-        "CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) AS hh",
-    ).selectExpr(
-        "(cx + 0.5) * 0.5 AS x", "(cy + 0.5) * 0.5 AS y",
-        "100.0 + 0.05 * ((cx + 0.5) * 0.5) "
-        "+ 0.03 * ((cy + 0.5) * 0.5) + hh AS z")
+    ground, canopy = _lifecycle_points(spark)
     dtm = points_to_dtm_tiles(ground, halo_m=8.0)
     dsm = points_to_tiles(ground.unionByName(canopy))
     det = detect_trees(normalize_tiles(dsm, dtm))
@@ -6804,19 +6816,20 @@ _LAS_GATE_N = 15000  # 3 files x 5000 points
 
 
 def _las_plant_files() -> str:
+    # a FRESH temp dir per call: a fixed skip-if-exists dir would keep
+    # validating bytes written by an OLDER encoder after a codec change
+    # (gate green, encoder broken) and races concurrent runs on the same
+    # tmp path; the 420 KB of files cost nothing to rewrite
     import os
     import tempfile
 
     import numpy as np
 
     from lidartree_spark.las import encode_las
-    d = os.path.join(tempfile.gettempdir(), "lidartree_las_gate_v1")
-    os.makedirs(d, exist_ok=True)
+    d = tempfile.mkdtemp(prefix="lidartree_las_gate_")
     for f in range(3):
         g = np.arange(f * 5000, (f + 1) * 5000, dtype=np.int64)
         path = os.path.join(d, f"part{f}.las")
-        if os.path.exists(path):
-            continue
         buf = encode_las(
             x=(g % 200) * 0.25, y=((g * 7) % 160) * 0.25,
             z=(g % 97) * 0.125,
@@ -6880,10 +6893,14 @@ def _las_lifecycle_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     detection chain — i.e. a lidR user's `readLAS -> tree_detection`
     workflow end to end, ground/canopy split by LAS classification
     (2 = ground, ASPRS standard). The oracle is points_lifecycle's,
-    VERBATIM: z = 100 + 0.05x + 0.03y sits exactly on the 0.0025 LAS
-    z-grid (0.0125 = 5 units, 0.0075 = 3 units, H integer), and x, y on
-    the 0.25 grid, so the LAS quantization is a bit-level no-op and every
-    CHM value survives unchanged."""
+    VERBATIM. Why the LAS round-trip cannot change the result: z =
+    100 + 0.05x + 0.03y sits on the 0.0025 DECIMAL z-grid (0.0125 = 5
+    units, 0.0075 = 3 units, H integer) and x, y on the exact-binary
+    0.25 grid, so rint() hits the intended integer exactly and the only
+    round-trip drift is double-representation noise in N*0.0025
+    (measured <= 1.4e-14) — four orders below the chain's own f32 noise
+    (~1e-5) that the gate's ROUND(h, 3) already absorbs, and seven
+    below any detection threshold/tie spacing (0.5-unit grids)."""
     import tempfile
 
     from lidartree_spark.las import read_las, write_las
@@ -6893,24 +6910,7 @@ def _las_lifecycle_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         points_to_dtm_tiles,
         points_to_tiles,
     )
-    ground = spark.range(128 * 128).selectExpr(
-        "CAST(id % 128 AS INT) AS cx", "CAST(id DIV 128 AS INT) AS cy",
-    ).selectExpr(
-        "(cx + 0.5) * 0.5 AS x", "(cy + 0.5) * 0.5 AS y",
-        "100.0 + 0.05 * ((cx + 0.5) * 0.5) "
-        "+ 0.03 * ((cy + 0.5) * 0.5) AS z",
-        "2 AS classification")
-    canopy = spark.range(16).selectExpr(
-        "CAST(id DIV 4 AS INT) AS R", "CAST(id % 4 AS INT) AS C",
-    ).selectExpr(
-        "CAST(64 * (C DIV 2) + 8 + 32 * (C % 2) AS INT) AS cx",
-        "CAST(64 * (R DIV 2) + 55 - 32 * (R % 2) AS INT) AS cy",
-        "CAST(10 + (R * 7 + C * 11) % 16 AS DOUBLE) AS hh",
-    ).selectExpr(
-        "(cx + 0.5) * 0.5 AS x", "(cy + 0.5) * 0.5 AS y",
-        "100.0 + 0.05 * ((cx + 0.5) * 0.5) "
-        "+ 0.03 * ((cy + 0.5) * 0.5) + hh AS z",
-        "1 AS classification")
+    ground, canopy = _lifecycle_points(spark, with_class=True)
     d = tempfile.mkdtemp(prefix="lidartree_las_lc_")
     pts = ground.unionByName(canopy).repartition(8)
     write_las(pts, d, scale=(0.25, 0.25, 0.0025)).count()  # trigger sink

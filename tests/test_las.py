@@ -166,3 +166,20 @@ def test_write_las_distributed_roundtrip(spark, tmp_path):
     assert agg["sz"] == float(((g % 97) * 0.125).sum())
     assert agg["ng"] == int((g % 4 == 0).sum())
     assert agg["tg"] == 4999 * 0.5
+
+
+def test_encode_overflow_and_truncated_header_guards():
+    """Coordinates that overflow int32 after scaling raise (never wrap);
+    a truncated header raises a clean ValueError naming the size."""
+    g = np.arange(3)
+    with pytest.raises(ValueError, match="overflow int32"):
+        encode_las(x=np.array([5e6, 0.0, 1.0]), y=g * 1.0, z=g * 1.0,
+                   scale=(0.001, 0.001, 0.001))
+    # same coords fit fine with a bracketing offset
+    buf = encode_las(x=np.array([5e6, 5e6 + 1, 5e6 + 2]), y=g * 1.0,
+                     z=g * 1.0, scale=(0.001, 0.001, 0.001),
+                     offset=(5e6, 0.0, 0.0))
+    assert np.array_equal(decode_las_points(buf)["x"].to_numpy(),
+                          np.array([5e6, 5e6 + 1, 5e6 + 2]))
+    with pytest.raises(ValueError, match="truncated LAS header"):
+        decode_las_header(buf[:100])

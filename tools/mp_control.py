@@ -29,9 +29,13 @@ PAIRS = ((1, 4), (8, 32))
 
 
 def _work(args) -> int:
-    """Decode + full detection chain on `n` deterministic generator tiles —
-    the same per-tile kernel work the flagship pipeline's UDF does."""
-    seed, n = args
+    """Decode + full detection chain on global tile indices
+    [start, start + n) — the same per-tile kernel work the flagship
+    pipeline's UDF does. Tile identity is a function of the GLOBAL index,
+    so every process count runs the IDENTICAL tile set (per-tile cost
+    varies with content; a level-dependent tile set would bias the
+    efficiency ratio)."""
+    start, n = args
     os.environ.setdefault("OMP_NUM_THREADS", "1")
     os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
     from lidartree_spark.codecs import decode_tile
@@ -39,8 +43,8 @@ def _work(args) -> int:
     from lidartree_spark.kernels.extraction import tree_extraction
     from lidartree_spark.kernels.segmentation import tree_segmentation
     total = 0
-    for i in range(n):
-        rec = gen_tile_row(seed, i)
+    for g in range(start, start + n):
+        rec = gen_tile_row(g // 1024, g % 1024)
         chm = decode_tile(rec["bytes"], rec["fmt"], 64, 64)
         seg = tree_segmentation(chm, res=0.5)
         rows = tree_extraction(seg["filled_dem"], seg["local_maxima"],
@@ -50,14 +54,20 @@ def _work(args) -> int:
 
 
 def run_level(p: int, total_tiles: int, repeats: int = 3) -> float:
-    """Wall time for `total_tiles` tiles split across p processes,
+    """Wall time for EXACTLY `total_tiles` tiles split across p processes
+    (contiguous ranges, remainder spread over the first workers),
     min-of-repeats (shared-host noise only ever adds time)."""
-    per = total_tiles // p
-    jobs = [(w, per) for w in range(p)]
+    base, rem = divmod(total_tiles, p)
+    jobs, start = [], 0
+    for w in range(p):
+        n = base + (1 if w < rem else 0)
+        jobs.append((start, n))
+        start += n
+    assert start == total_tiles
     best = None
     for _ in range(repeats):
         with mp.get_context("spawn").Pool(p) as pool:
-            pool.map(_work, [(w, 2) for w in range(p)])  # warm imports
+            pool.map(_work, [(w * 2, 2) for w in range(p)])  # warm imports
             t0 = time.time()
             pool.map(_work, jobs)
             dt = time.time() - t0
