@@ -164,7 +164,7 @@ def run_skew_bench(spark) -> dict:
       unsalted_no_aqe    — plain equi-join, AQE skew handling off (what a
                            static planner, or a shape AQE can't split,
                            pays);
-      salted             — operators/grid.salted_join, 32 buckets.
+      salted             — operators/grid.salted_join, 8 buckets.
     """
     from lidartree_spark.operators.grid import salted_join
 

@@ -28,7 +28,10 @@ def tile_seed(image_id: str) -> int:
     return int.from_bytes(hashlib.sha256(image_id.encode()).digest()[:8], "little")
 
 
-_TILE_ID_RE = re.compile(r"^[tp](\d+)_(\d+)$")
+# ASCII [0-9] only (\d also matches Unicode digits, which the SQL-side
+# parses reject — the two paths must agree); 1-9 digits bounds row/col
+# below 10^9, well past any real grid and inside INT on the SQL side
+_TILE_ID_RE = re.compile(r"^[tp]([0-9]{1,9})_([0-9]{1,9})$")
 
 
 def parse_tile_id(image_id: str) -> tuple[int, int]:

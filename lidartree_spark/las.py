@@ -92,11 +92,24 @@ def encode_las(x: np.ndarray, y: np.ndarray, z: np.ndarray,
                 f"{scaled.max()}); choose an offset/scale that brackets "
                 f"the data")
         rec[axis] = scaled.astype(np.int32)
+    def _checked(name, vals, lo, hi, dtype):
+        # fail-loudly, same policy as the coordinate overflow guard: a
+        # numpy dtype cast would silently WRAP out-of-range attributes
+        # (return 9 -> 1, intensity 70000 -> 4464)
+        a = np.asarray(vals, dtype=np.int64)
+        if n and (a.min() < lo or a.max() > hi):
+            raise ValueError(
+                f"{name} out of LAS range [{lo}, {hi}]: "
+                f"got {a.min()}..{a.max()}")
+        return a.astype(dtype)
+
     if classification is not None:
-        rec["classification"] = np.asarray(classification, dtype=np.uint8)
+        rec["classification"] = _checked("classification", classification,
+                                         0, 255, np.uint8)
     if intensity is not None:
-        rec["intensity"] = np.asarray(intensity, dtype=np.uint16)
-    rn = (np.asarray(return_number, dtype=np.uint8)
+        rec["intensity"] = _checked("intensity", intensity,
+                                    0, 65535, np.uint16)
+    rn = (_checked("return_number", return_number, 1, 7, np.uint8)
           if return_number is not None else np.ones(n, dtype=np.uint8))
     # flags byte: return number (3 bits) | number of returns (3 bits);
     # single-return convention: n_returns = max(rn, 1)

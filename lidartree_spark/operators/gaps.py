@@ -328,21 +328,13 @@ def detect_gaps_global(tiles: DataFrame, params: dict | None = None,
 
     labeled = padded.mapInPandas(run, schema=_LABELED_SCHEMA).persist()
     gaps = labeled.where("kind = 'gap'")
-    # regex parse with a loud raise, NOT fixed-position substring: ids are
-    # min-width (t10000_0003 is valid), and a truncated parse would build
-    # colliding boundary keys that merge gaps across unrelated tile pairs
-    rx = "^[tp]([0-9]+)_([0-9]+)$"
-    bad = ("CAST(raise_error(CONCAT('merge_gaps: unparseable tile id ', "
-           "image_id)) AS INT)")
+    # the shared regex+raise parse policy (operators/grid._tile_part):
+    # a truncated fixed-position parse would build colliding boundary
+    # keys that merge gaps across unrelated tile pairs
+    from lidartree_spark.operators.grid import tile_col, tile_row
     borders = (labeled.where("kind = 'border'")
-               .withColumn("r", F.expr(
-                   f"CASE WHEN image_id RLIKE '{rx}' THEN "
-                   f"CAST(regexp_extract(image_id, '{rx}', 1) AS INT) "
-                   f"ELSE {bad} END"))
-               .withColumn("c", F.expr(
-                   f"CASE WHEN image_id RLIKE '{rx}' THEN "
-                   f"CAST(regexp_extract(image_id, '{rx}', 2) AS INT) "
-                   f"ELSE {bad} END"))
+               .withColumn("r", tile_row(F.col("image_id")))
+               .withColumn("c", tile_col(F.col("image_id")))
                .withColumn("node", F.concat_ws("|", "image_id", "gap_id")))
     # boundary keys: vertical boundary ('v', r, c) sits between (r, c) and
     # (r, c+1); horizontal ('h', r, c) between (r, c) and (r+1, c). Array

@@ -20,14 +20,17 @@ TILE_H = 64
 RES = 0.5
 
 
-_TILE_RX = "^[tp]([0-9]+)_([0-9]+)$"
+# THE tile-id parse policy (single source of truth — generator.
+# parse_tile_id is its Python twin and must stay in sync): ASCII digits
+# only, 1-9 of them, so every accepted value fits INT (10+ digits would
+# CAST to NULL, silently defeating the raise_error guard) and the 4-digit
+# padding is treated as the MINIMUM width it is.
+_TILE_RX = "^[tp]([0-9]{1,9})_([0-9]{1,9})$"
 
 
 def _tile_part(image_id: Column, group: int) -> Column:
-    # regex parse with a loud raise — the 4-digit padding is a MINIMUM
-    # width, so fixed-position substrings truncate at >= 10000 rows/cols
     bad = F.raise_error(
-        F.concat(F.lit("tile id unparseable: "), image_id)).cast("int")
+        F.concat(F.lit("unparseable tile id: "), image_id)).cast("int")
     return F.when(
         image_id.rlike(_TILE_RX),
         F.regexp_extract(image_id, _TILE_RX, group).cast("int")

@@ -32,14 +32,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: str,
     `left`'s (rename before calling). Returns left columns + right non-key
     columns.
 
-    NULL times carry no "as of" instant, so rows with a NULL time column
-    are dropped from BOTH sides before the merge (a NULL-timed right row
-    would otherwise sort nulls-first and become permanently matchable
-    state; a NULL-timed left row would silently never match). This mirrors
-    how databases with native ASOF JOIN (e.g. DuckDB) treat NULL keys in
-    an inequality predicate: the comparison is never true.
+    NULL-time semantics (standard left-join treatment of an inequality
+    that is never true on NULL): a RIGHT row with NULL `right_time` is
+    dropped — it carries no "as of" instant, so it can never satisfy
+    right_time <= left_time (unfiltered it would sort nulls-first and
+    become permanently matchable state). A LEFT row with NULL `left_time`
+    SURVIVES with NULL right columns — it is still a left row; it just
+    matches nothing (nulls-first ordering places it before every right
+    row, so the running last() sees only NULLs). Note this deliberately
+    differs from DuckDB's native ASOF JOIN, whose NULL handling is
+    engine-specific; the oracle gate feeds NULL-free times.
     """
-    left = left.where(F.col(left_time).isNotNull())
     right = right.where(F.col(right_time).isNotNull())
     lcols = left.columns
     rcols = [c for c in right.columns if c != on]

@@ -160,22 +160,13 @@ def build_overview(tiles: DataFrame, out_fmt: str = "png16") -> DataFrame:
     overview build at any corpus size. Accepts 't{row}_{col}' child ids
     (TILES_SCHEMA) and emits 'p{row}_{col}' parents.
     """
-    # Parse the id by regex, not fixed-position substring: the 4-digit
-    # padding is a MINIMUM width, so at >= 10000 rows/cols the id grows
-    # and a substring parse would silently truncate digits and group
-    # children under the wrong parent. Non-matching ids fail loudly
-    # (same policy as morton_cell's guard).
-    rx = "^[tp]([0-9]+)_([0-9]+)$"
-    bad = ("CAST(raise_error(CONCAT('build_overview: unparseable tile id ',"
-           " image_id)) AS INT)")
-    withp = tiles.selectExpr(
+    # the shared regex+raise parse policy (operators/grid._tile_part):
+    # pattern-based, never fixed-position — padding is a minimum width
+    from lidartree_spark.operators.grid import tile_col, tile_row
+    withp = tiles.select(
         "bytes", "w", "h", "fmt",
-        f"CASE WHEN image_id RLIKE '{rx}' THEN "
-        f"CAST(regexp_extract(image_id, '{rx}', 1) AS INT) "
-        f"ELSE {bad} END AS trow",
-        f"CASE WHEN image_id RLIKE '{rx}' THEN "
-        f"CAST(regexp_extract(image_id, '{rx}', 2) AS INT) "
-        f"ELSE {bad} END AS tcol",
+        tile_row(F.col("image_id")).alias("trow"),
+        tile_col(F.col("image_id")).alias("tcol"),
     ).withColumn("prow", (F.col("trow") / 2).cast("int")) \
      .withColumn("pcol", (F.col("tcol") / 2).cast("int"))
 

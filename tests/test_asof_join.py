@@ -44,16 +44,19 @@ def test_asof_tie_on_same_right_timestamp(spark):
     assert row["rid"] == 102
 
 
-def test_asof_null_times_dropped(spark):
-    """NULL time columns carry no as-of instant: NULL-timed right rows
-    never become matchable state, NULL-timed left rows are dropped (not
-    silently emitted unmatched)."""
+def test_asof_null_times(spark):
+    """NULL-timed RIGHT rows never become matchable state; NULL-timed
+    LEFT rows survive the left join unmatched (NULL right columns) —
+    standard never-true-inequality semantics."""
     left = spark.createDataFrame(
         [(1, 10, _ts(5)), (2, 10, None)],
         "lid long, user_id long, ts timestamp")
     right = spark.createDataFrame(
         [(101, 10, None), (102, 10, _ts(2))],
         "rid long, user_id long, rts timestamp")
-    rows = asof_join(left, right, "user_id", "ts", "rts", "rid").collect()
-    assert [r["lid"] for r in rows] == [1]
-    assert rows[0]["rid"] == 102  # the NULL-timed right row never matches
+    rows = {r["lid"]: r for r in
+            asof_join(left, right, "user_id", "ts", "rts", "rid").collect()}
+    assert sorted(rows) == [1, 2]
+    assert rows[1]["rid"] == 102  # the NULL-timed right row never matches
+    assert rows[2]["rid"] is None and rows[2]["rts"] is None
+    assert rows[2]["ts"] is None  # left columns preserved verbatim

@@ -183,3 +183,17 @@ def test_encode_overflow_and_truncated_header_guards():
                           np.array([5e6, 5e6 + 1, 5e6 + 2]))
     with pytest.raises(ValueError, match="truncated LAS header"):
         decode_las_header(buf[:100])
+
+
+def test_encode_attribute_range_guards():
+    """Out-of-range attributes raise instead of wrapping (return 9 would
+    silently encode as 1, intensity 70000 as 4464)."""
+    g = np.arange(3)
+    base = dict(x=g * 0.25, y=g * 0.25, z=g * 0.125,
+                scale=(0.25, 0.25, 0.125))
+    with pytest.raises(ValueError, match="return_number out of LAS range"):
+        encode_las(**base, return_number=np.array([1, 2, 9]))
+    with pytest.raises(ValueError, match="intensity out of LAS range"):
+        encode_las(**base, intensity=np.array([0, 70000, 1]))
+    with pytest.raises(ValueError, match="classification out of LAS range"):
+        encode_las(**base, classification=np.array([0, 300, 1]))

@@ -155,3 +155,17 @@ def test_morton_out_of_domain_raises(spark):
         morton_cell(F.lit(float((1 << 24) - 1)), F.lit(-float(1 << 24)),
                     1.0).alias("c")).collect()
     assert ok[0].c >= 0
+
+
+def test_parse_tile_id_policy_ascii_and_bounds():
+    """Python and SQL parse paths share ONE policy: ASCII digits only,
+    1-9 of them — Unicode digits and >=10-digit values raise on both."""
+    import pytest
+
+    from lidartree_spark.generator import parse_tile_id
+    assert parse_tile_id("t10000_0003") == (10000, 3)
+    assert parse_tile_id("p999999999_1") == (999999999, 1)
+    with pytest.raises(ValueError):
+        parse_tile_id("t٠١_٢")  # Arabic-Indic digits
+    with pytest.raises(ValueError):
+        parse_tile_id("t4294967296_0001")  # 10 digits: would not fit INT
