@@ -6928,6 +6928,57 @@ _EXTENDED["las_lifecycle_detect"] = (_las_lifecycle_gate,
                                      _POINTS_LIFECYCLE_DUCK)
 
 
+def _clustered_layout_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-clustered layout round-trip (operators/layout): 200K
+    arithmetically-scattered points -> write_clustered (range shuffle on
+    the Hilbert code + in-partition sort) -> bbox_scan back -> exact
+    aggregates, vs DuckDB re-deriving from the closed-form point
+    definitions. Any clustering bug that drops/duplicates/mangles rows
+    (boundary off-by-one in repartitionByRange, a lossy sort column
+    collision, hcode guard misfire) lands in count/sum. The PRUNING
+    effect (1-of-32 row groups for this 1/64-domain bbox vs 32-of-32
+    hash-scattered) is engine-metadata, so it is asserted in
+    tests/test_layout.py rather than here."""
+    import tempfile
+
+    from lidartree_spark.operators.layout import bbox_scan, write_clustered
+    pts = spark.range(200_000).selectExpr(
+        "id",
+        "CAST((id * 7919) % 25600 AS DOUBLE) / CAST(100 AS DOUBLE) AS x",
+        "CAST((id * 104729 + 13) % 25600 AS DOUBLE) / CAST(100 AS DOUBLE)"
+        " AS y",
+        "CAST(id % 97 AS DOUBLE) AS z")
+    d = tempfile.mkdtemp(prefix="lidartree_layout_")
+    write_clustered(pts, d, res=0.5, n_files=32)
+    got = bbox_scan(spark, d, 0.0, 0.0, 32.0, 32.0)
+    return got.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("id").cast("long").alias("id_sum"),
+        F.sum("z").alias("z_sum"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"))
+
+
+_CLUSTERED_LAYOUT_DUCK = """
+WITH p AS (
+  SELECT g AS id,
+         CAST((g * 7919) % 25600 AS DOUBLE) / CAST(100 AS DOUBLE) AS x,
+         CAST((g * 104729 + 13) % 25600 AS DOUBLE) / CAST(100 AS DOUBLE)
+           AS y,
+         CAST(g % 97 AS DOUBLE) AS z
+  FROM UNNEST(generate_series(0, 199999)) t(g)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(id) AS BIGINT) AS id_sum,
+       SUM(z) AS z_sum, MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max
+FROM p
+WHERE x >= 0 AND x < 32 AND y >= 0 AND y < 32
+"""
+
+_EXTENDED["clustered_layout_scan"] = (_clustered_layout_gate,
+                                      _CLUSTERED_LAYOUT_DUCK)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, sql in _SHARED.items():
