@@ -70,6 +70,12 @@ def encode_las(x: np.ndarray, y: np.ndarray, z: np.ndarray,
     point_format defaults to 1 when gps_time is given, else 0.
     Coordinates are quantized to the scale grid with round-half-even
     (np.rint) — callers wanting exact round-trips put points ON the grid.
+
+    Conformance note: the header's number-of-points-by-return legend has
+    5 slots (LAS 1.2), but the per-point field accepts return numbers up
+    to 7; returns 6-7 are encoded in the point records yet absent from
+    the legend. This reader ignores the legend, but strict external
+    validators may flag files carrying returns >5.
     """
     n = len(x)
     if point_format is None:
@@ -235,6 +241,14 @@ def write_las(df, directory: str,
     memory — size the upstream repartition accordingly, exactly as with
     any file-per-partition sink. Returns an UNEXECUTED plan of
     (path, n_records) rows; trigger it with an action (.collect/.count).
+
+    `directory` must be on a filesystem shared by driver and executors
+    (local mode, NFS, or a FUSE-mounted object store): partitions write
+    with POSIX open() and `read_las` lists files with a driver-side
+    glob, so on a multi-node cluster without a shared mount part files
+    would land on executor-local disks and be invisible to the reader.
+    Genuine HDFS/S3 support would route through the Hadoop FileSystem
+    API; out of scope for this sandbox (no hadoop-aws jars).
     """
     import os as _os
 
@@ -273,6 +287,10 @@ def read_las(spark, paths, chunk_records: int = 2_000_000):
     file, so one 10-billion-point flight line becomes thousands of tasks
     and a million small tiles coalesce into full batches. Returns
     POINTS_SCHEMA columns + `path`.
+
+    `paths` must be visible to both driver (listing) and executors
+    (open()): shared filesystem required on multi-node clusters — see
+    the `write_las` docstring.
     """
     import glob as _glob
     import os as _os

@@ -29,12 +29,16 @@ _TILE_RX = "^[tp]([0-9]{1,9})_([0-9]{1,9})$"
 
 
 def _tile_part(image_id: Column, group: int) -> Column:
+    # ONE regex execution per part (r5: was rlike + regexp_extract = two):
+    # regexp_extract returns '' on non-match, nullif turns that into NULL,
+    # and coalesce falls through to the loud raise. The {1,9} bound means a
+    # matched group always CASTs cleanly to INT, so NULL here can only mean
+    # "did not match" — the raise path stays exact.
     bad = F.raise_error(
         F.concat(F.lit("unparseable tile id: "), image_id)).cast("int")
-    return F.when(
-        image_id.rlike(_TILE_RX),
-        F.regexp_extract(image_id, _TILE_RX, group).cast("int")
-    ).otherwise(bad)
+    got = F.nullif(F.regexp_extract(image_id, _TILE_RX, group),
+                   F.lit("")).cast("int")
+    return F.coalesce(got, bad)
 
 
 def tile_row(image_id: Column) -> Column:

@@ -83,8 +83,9 @@ def rowgroup_prune_stats(path: str, xmin: float, ymin: float, xmax: float,
             sx = rg.column(names[x_col]).statistics
             sy = rg.column(names[y_col]).statistics
             total += 1
-            if sx is None or sy is None:
-                must_read += 1  # no stats -> reader cannot prune
+            if (sx is None or sy is None
+                    or not sx.has_min_max or not sy.has_min_max):
+                must_read += 1  # no (or min/max-less) stats -> cannot prune
                 continue
             if (sx.max >= xmin and sx.min < xmax
                     and sy.max >= ymin and sy.min < ymax):
