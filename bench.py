@@ -32,6 +32,17 @@ Measurement protocol baked into the recorded run (shared-host hygiene):
     else (e.g. a concurrent test session).
 local[CPUS] is still measured as peak capacity.
 Set SPARK_GRAFT_SCALING=0 to skip the extra levels.
+
+Extra recorded sections (each with an opt-out env flag, all default on):
+  skew     (SPARK_GRAFT_SKEW)     salted vs unsalted join under a hot key;
+  layout   (SPARK_GRAFT_LAYOUT)   Hilbert-clustered vs hash-scattered
+                                  row-group pruning ratio from the parquet
+                                  footers + timed bbox scans at bench scale;
+  isolated (SPARK_GRAFT_ISOLATED) min-of-4 fresh-JVM reruns of the 10
+                                  slowest suite queries — suite numbers are
+                                  single-window samples on a shared host,
+                                  so regressions are confirmed HERE before
+                                  anyone optimizes against noise.
 """
 
 from __future__ import annotations
@@ -249,6 +260,88 @@ def run_skew_bench(spark) -> dict:
     }
 
 
+def run_layout_bench(spark, n_points: int = 2_000_000,
+                     n_files: int = 32) -> dict:
+    """Clustered-vs-scattered pruning at bench scale (VERDICT r4 ask #4).
+
+    Writes the same point corpus twice — Hilbert range-shuffled
+    (operators/layout.write_clustered) and hash-scattered — then counts,
+    from the parquet footers, the row groups a 1/64-domain bbox scan MUST
+    read under each layout, and times the actual bbox scans. The footer
+    ratio is the 100-TB story (fraction of the corpus a bbox query
+    touches); the wall-clock pair shows it reaching local runtime too.
+    """
+    import shutil
+    import tempfile
+
+    from lidartree_spark.operators.layout import (
+        bbox_scan,
+        rowgroup_prune_stats,
+        write_clustered,
+    )
+
+    bbox = (0.0, 0.0, 32.0, 32.0)  # 1/64 of the 256x256 domain area
+    pts = spark.range(n_points).selectExpr(
+        "id",
+        "CAST(pmod(hash(id), 25600) AS DOUBLE) / CAST(100 AS DOUBLE) AS x",
+        "CAST(pmod(hash(id + 7), 25600) AS DOUBLE) / CAST(100 AS DOUBLE)"
+        " AS y",
+        "CAST(id % 97 AS DOUBLE) AS z")
+    work = tempfile.mkdtemp(prefix="lidartree_layout_")
+    clustered, scattered = f"{work}/clustered", f"{work}/scattered"
+    try:
+        write_clustered(pts, clustered, res=0.5, n_files=n_files)
+        pts.repartition(n_files, "id").write.mode("overwrite") \
+            .parquet(scattered)
+        c = rowgroup_prune_stats(clustered, *bbox)
+        s = rowgroup_prune_stats(scattered, *bbox)
+        times = {}
+        for name, path in (("clustered", clustered),
+                           ("scattered", scattered)):
+            best = None
+            for _ in range(3):
+                t0 = time.time()
+                bbox_scan(spark, path, *bbox).write.format("noop") \
+                    .mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "n_points": n_points, "n_files": n_files,
+        "bbox_area_frac": 1 / 64,
+        "clustered_rowgroups_total": c["total"],
+        "clustered_rowgroups_must_read": c["must_read"],
+        "scattered_rowgroups_total": s["total"],
+        "scattered_rowgroups_must_read": s["must_read"],
+        # row groups a stats-based reader skips under each layout; the
+        # pruning ratio is scattered/clustered must-read density
+        "prune_ratio": round(
+            (s["must_read"] / s["total"])
+            / max(c["must_read"] / c["total"], 1e-9), 2),
+        "clustered_scan_sec": times["clustered"],
+        "scattered_scan_sec": times["scattered"],
+    }
+
+
+def run_isolated_top(results: dict, k: int = 10, n: int = 4) -> dict:
+    """Isolated min-of-N reruns of the k slowest suite queries in a FRESH
+    JVM on a quieted box (VERDICT r4/r5 ask #3: per-query suite numbers
+    are single-window samples; this kills the regression-or-noise
+    ambiguity that recurred in r3 token_topk and r4 north_star_chain)."""
+    skip = {"tile_pipeline"}  # measured by its own subprocess protocol
+    names = [q for q, _ in sorted(results.items(), key=lambda kv: -kv[1])
+             if q not in skip][:k]
+    _await_quiet_box()
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "isolate_query.py"),
+         "--n", str(n), *names],
+        capture_output=True, text=True, check=True)
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    return {"n": n, "queries": payload["queries"]}
+
+
 def main() -> None:
     import tempfile
 
@@ -340,11 +433,14 @@ def main() -> None:
         yield from batches
 
     skew: dict = {}
+    layout: dict = {}
     try:
         spark.range(0, int(CPUS) * 4, 1, int(CPUS)) \
             .mapInPandas(_warm, "id long").count()
         if os.environ.get("SPARK_GRAFT_SKEW", "1") == "1":
             skew = run_skew_bench(spark)
+        if os.environ.get("SPARK_GRAFT_LAYOUT", "1") == "1":
+            layout = run_layout_bench(spark)
         qs = queries()
         for name, fn in qs.items():
             if name in ("tree_detect_tiles", "tree_match_greedy",
@@ -365,6 +461,13 @@ def main() -> None:
     finally:
         spark.stop()
 
+    isolated: dict = {}
+    if os.environ.get("SPARK_GRAFT_ISOLATED", "1") == "1":
+        isolated = run_isolated_top(
+            results,
+            k=int(os.environ.get("SPARK_GRAFT_ISOLATED_TOP", "10")),
+            n=int(os.environ.get("SPARK_GRAFT_ISOLATED_N", "4")))
+
     total = round(sum(results.values()), 3)
     # full detail (per-query timings + raw scaling trials) -> a file; the
     # stdout line stays compact so the driver's bounded tail capture can
@@ -374,7 +477,8 @@ def main() -> None:
     os.makedirs(os.path.dirname(detail_path), exist_ok=True)
     with open(detail_path, "w") as f:
         json.dump({"sf": sf, "queries": results, "scaling_raw": scaling,
-                   "skew": skew}, f, indent=1)
+                   "skew": skew, "layout": layout, "isolated": isolated},
+                  f, indent=1)
     compact_scaling = {k: v for k, v in scaling.items()
                        if not k.startswith("trials_")}
     print(json.dumps({
@@ -389,6 +493,8 @@ def main() -> None:
         "queries_file": "BENCH/queries_latest.json",
         "scaling": compact_scaling,
         "skew": skew,
+        "layout": layout,
+        "isolated": isolated,
     }))
 
 
