@@ -17,7 +17,7 @@ SF = "/root/testdata/sf0.001"
 # broadcast query side against the corpus — O(|Q| * n) scan, not O(n^2);
 # the scale paths are ann_lsh's lsh half / ann_ivf / embedding_neardup
 # (all bucketed).
-NESTED_LOOP_OK = {"embedding_topk", "ann_lsh"}
+NESTED_LOOP_OK = {"embedding_topk", "ann_lsh", "ann_dual"}
 
 
 @pytest.mark.parametrize("name", sorted(queries()))
