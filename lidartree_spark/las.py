@@ -1,13 +1,14 @@
-"""LAS 1.2 point-cloud codec + distributed reader (uncompressed).
+"""LAS 1.2 point-cloud codec + distributed reader.
 
 The reference's native input is a .laz point-cloud file
 (/root/reference/R/common.R:16-20 reads `las_chablais3.laz` via
 lidR::readLAS; inst/extdata ships the tile). This module closes that
-source-parity gap for the UNCOMPRESSED container: LAS 1.2 per the public
-ASPRS "LAS Specification Version 1.2" (point data record formats 0-3).
-LAZ (the compressed variant) stays a documented non-goal — the arithmetic
-entropy coder is a large spec surface and fabricating it from memory
-violates the repo's codec policy.
+source-parity gap: LAS 1.2 per the public ASPRS "LAS Specification
+Version 1.2" (point data record formats 0-3, read + write), and — since
+round 5 — LASzip-compressed .laz for point formats 0/1 via
+lidartree_spark.laz (chunk-parallel decompression; one task per LASzip
+chunk instead of per record range). LAZ base formats 2-3 (RGB) and the
+LAS 1.4 layered compressor stay loud-fail.
 
 Scale design — the reader is split-by-construction:
 
@@ -152,11 +153,16 @@ def encode_las(x: np.ndarray, y: np.ndarray, z: np.ndarray,
     return bytes(hdr) + rec.tobytes()
 
 
-def decode_las_header(buf: bytes) -> dict:
+def decode_las_header(buf: bytes, allow_laz: bool = False) -> dict:
     """Parse the 227-byte LAS 1.2 public header. Fails loudly on a bad
-    signature, a version this reader does not implement, or a compressed
-    (LAZ) point format — silent mis-decoding beats nothing, per the
-    repo's codec guard policy."""
+    signature, a version this reader does not implement, or — unless
+    allow_laz — a compressed (LAZ) point format; silent mis-decoding
+    beats nothing, per the repo's codec guard policy.
+
+    With allow_laz=True a LAZ bit-7 format is accepted, the base format
+    is reported, and the result carries `laz: True` — the caller routes
+    point decoding through lidartree_spark.laz (formats 0/1 only there).
+    """
     if buf[0:4] != _SIGNATURE:
         raise ValueError("not a LAS file (bad LASF signature)")
     if len(buf) < HEADER_SIZE:
@@ -169,10 +175,18 @@ def decode_las_header(buf: bytes) -> dict:
             f"LAS {vmaj}.{vmin} unsupported (this reader implements the "
             f"1.0-1.2 227-byte header; 1.3+ adds waveform fields)")
     fmt = buf[104]
-    if fmt & 0x80:
-        raise NotImplementedError(
-            "LAZ (compressed) point records are out of scope — decompress "
-            "to .las externally")
+    is_laz = bool(fmt & 0x80)
+    if is_laz:
+        if not allow_laz:
+            raise NotImplementedError(
+                "LAZ (compressed) point records: use read_las on a .laz "
+                "path (routes through lidartree_spark.laz, formats 0/1) "
+                "or decompress to .las externally")
+        fmt = fmt & 0x3F
+        if fmt not in (0, 1):
+            raise NotImplementedError(
+                f"LAZ base point format {fmt} (LASzip decode implements "
+                f"formats 0-1: POINT10 v2 + GPSTIME11 v2)")
     if fmt not in _DTYPES:
         raise NotImplementedError(f"point data format {fmt} (supported: 0-3)")
     (rec_len,) = struct.unpack_from("<H", buf, 105)
@@ -188,7 +202,8 @@ def decode_las_header(buf: bytes) -> dict:
             "n_records": int(n_records),
             "offset_to_points": int(offset_to_points),
             "scale_x": scale[0], "scale_y": scale[1], "scale_z": scale[2],
-            "off_x": off[0], "off_y": off[1], "off_z": off[2]}
+            "off_x": off[0], "off_y": off[1], "off_z": off[2],
+            "laz": is_laz}
 
 
 def decode_las_points(buf: bytes, hdr: dict | None = None,
@@ -299,52 +314,109 @@ def read_las(spark, paths, chunk_records: int = 2_000_000):
 
     if isinstance(paths, str):
         if _os.path.isdir(paths):
-            flist = sorted(_glob.glob(_os.path.join(paths, "*.las")))
+            flist = sorted(_glob.glob(_os.path.join(paths, "*.las"))
+                           + _glob.glob(_os.path.join(paths, "*.laz")))
         else:
             flist = sorted(_glob.glob(paths))
     else:
         flist = sorted(paths)
     if not flist:
-        raise FileNotFoundError(f"no .las files match {paths!r}")
+        raise FileNotFoundError(f"no .las/.laz files match {paths!r}")
 
     files = spark.createDataFrame(pd.DataFrame({"path": flist})).repartition(
         min(len(flist), spark.sparkContext.defaultParallelism))
 
     def scan_headers(batches):
+        import struct as _struct
+
+        from lidartree_spark.laz import assemble_chunks  # noqa: F401
+        from lidartree_spark.laz import parse_chunk_sizes, parse_laz_vlr
         for pdf in batches:
             out = []
             for p in pdf["path"]:
                 with open(p, "rb") as f:
-                    h = decode_las_header(f.read(HEADER_SIZE))
-                h["path"] = p
-                out.append(h)
+                    h = decode_las_header(f.read(HEADER_SIZE),
+                                          allow_laz=True)
+                    if not h["laz"]:
+                        h.update(path=p, laz=0, has_gps=0,
+                                 chunk_off=-1, chunk_bytes=0)
+                        out.append(h)
+                        continue
+                    # .laz: the VLR region and the chunk table are both
+                    # metadata-sized — two bounded reads, never the
+                    # point stream
+                    f.seek(0)
+                    head = f.read(h["offset_to_points"] + 8)
+                    vlr = parse_laz_vlr(head)
+                    (table_off,) = _struct.unpack_from(
+                        "<q", head, h["offset_to_points"])
+                    f.seek(table_off)
+                    sizes = parse_chunk_sizes(f.read())
+                    has_gps = int(any(it[0] == 7 for it in vlr["items"]))
+                    for off, sz, npts in assemble_chunks(
+                            sizes, h["offset_to_points"] + 8,
+                            h["n_records"], vlr["chunk_size"]):
+                        row = dict(h)
+                        row.update(path=p, laz=1, has_gps=has_gps,
+                                   chunk_off=off, chunk_bytes=sz,
+                                   n_records=npts)
+                        out.append(row)
             yield pd.DataFrame(
                 out, columns=["path", "point_format", "rec_len", "n_records",
                               "offset_to_points", "scale_x", "scale_y",
-                              "scale_z", "off_x", "off_y", "off_z"])
+                              "scale_z", "off_x", "off_y", "off_z",
+                              "laz", "has_gps", "chunk_off", "chunk_bytes"])
 
     manifest = files.mapInPandas(
         scan_headers,
         schema=("path string, point_format int, rec_len int, n_records long,"
                 " offset_to_points long, scale_x double, scale_y double,"
-                " scale_z double, off_x double, off_y double, off_z double"))
+                " scale_z double, off_x double, off_y double, off_z double,"
+                " laz int, has_gps int, chunk_off long, chunk_bytes long"))
 
+    # record-range split applies to uncompressed files only; a .laz
+    # manifest row already IS one LASzip chunk (its own decode unit)
     chunks = manifest.select(
         "*",
         F.explode(F.sequence(
             F.lit(0),
-            F.greatest(
-                (F.col("n_records") - 1) / F.lit(chunk_records),
-                F.lit(0)).cast("long"))).alias("chunk"),
+            F.when(F.col("laz") == 1, F.lit(0).cast("long")).otherwise(
+                F.greatest(
+                    (F.col("n_records") - 1) / F.lit(chunk_records),
+                    F.lit(0)).cast("long")))).alias("chunk"),
     ).withColumn("start_rec", F.col("chunk") * F.lit(chunk_records)) \
      .withColumn("n_recs",
                  F.least(F.lit(chunk_records),
                          F.col("n_records") - F.col("start_rec")))
 
     def parse_chunks(batches):
+        from lidartree_spark.laz import decode_chunk
         for pdf in batches:
             for rec in pdf.itertuples(index=False):
                 if rec.n_recs <= 0:
+                    continue
+                if rec.laz:
+                    with open(rec.path, "rb") as f:
+                        f.seek(rec.chunk_off)
+                        raw = f.read(int(rec.chunk_bytes))
+                    # the range decoder's byte-wise renorm may look a few
+                    # bytes past the encoder's flush point — pad the
+                    # exact-sized chunk slice so that lookahead is defined
+                    c = decode_chunk(raw + b"\x00" * 16, 0, int(rec.n_recs),
+                                     bool(rec.has_gps))
+                    out = pd.DataFrame({
+                        "x": c["X"] * rec.scale_x + rec.off_x,
+                        "y": c["Y"] * rec.scale_y + rec.off_y,
+                        "z": c["Z"] * rec.scale_z + rec.off_z,
+                        "intensity": c["intensity"],
+                        "return_number": c["flags"] & 0x7,
+                        "n_returns": (c["flags"] >> 3) & 0x7,
+                        "classification": c["classification"],
+                        "gps_time": c["gps"],
+                        "point_source_id": c["point_source_id"],
+                    })
+                    out["path"] = rec.path
+                    yield out
                     continue
                 hdr = {"point_format": int(rec.point_format),
                        "rec_len": int(rec.rec_len),

@@ -1,8 +1,9 @@
 """LAS 1.2 codec + distributed reader (lidartree_spark.las).
 
 Reference semantics: /root/reference/R/common.R:16-20 (lidR::readLAS of the
-bundled .laz tile); this reader implements the UNCOMPRESSED container per
-the public ASPRS LAS 1.2 spec. Oracle parity for the end-to-end ingest ->
+bundled .laz tile); this file covers the UNCOMPRESSED container per the
+public ASPRS LAS 1.2 spec — the .laz decompression path is covered by
+tests/test_laz.py. Oracle parity for the end-to-end ingest ->
 DSM chain is in tests/test_extended_oracles.py (las_ingest_dsm)."""
 
 import numpy as np

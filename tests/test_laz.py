@@ -1,0 +1,146 @@
+"""LASzip (.laz) decode gates (lidartree_spark/laz.py).
+
+The headline gate decodes the reference's own bundled tile
+(/root/reference/inst/extdata/las_chablais3.laz — the file the
+reference reads at common.R:16-20) and checks the decoded integer
+min/max X/Y/Z against the LAS header's bounding box EXACTLY. Adaptive
+arithmetic coding desynchronizes catastrophically on any model or
+context slip, so an exact bbox over the full 92 097-point, 2-chunk
+stream is a stream-wide checksum, not a spot check.
+"""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+CHABLAIS3 = "/root/reference/inst/extdata/las_chablais3.laz"
+
+needs_chablais = pytest.mark.skipif(not os.path.exists(CHABLAIS3),
+                                    reason="reference .laz not present")
+
+
+@pytest.fixture(scope="module")
+def chablais_buf():
+    with open(CHABLAIS3, "rb") as f:
+        return f.read()
+
+
+@pytest.fixture(scope="module")
+def chablais_df(chablais_buf):
+    from lidartree_spark.laz import decode_laz_points
+    return decode_laz_points(chablais_buf)
+
+
+@needs_chablais
+def test_decode_count_and_exact_bbox(chablais_buf, chablais_df):
+    from lidartree_spark.las import decode_las_header
+    hdr = decode_las_header(chablais_buf, allow_laz=True)
+    df = chablais_df
+    assert len(df) == hdr["n_records"] == 92097
+    xmax, xmin, ymax, ymin, zmax, zmin = struct.unpack_from(
+        "<6d", chablais_buf, 179)
+    # exact to the last scale unit (0.01 m): decoded ints * scale
+    assert df.x.min() == xmin and df.x.max() == xmax
+    assert df.y.min() == ymin and df.y.max() == ymax
+    assert df.z.min() == zmin and df.z.max() == zmax
+
+
+@needs_chablais
+def test_decode_attribute_sanity(chablais_df):
+    df = chablais_df
+    # chablais3 holds returns 1-2 and ground/vegetation classes only
+    assert set(df.return_number.unique()) == {1, 2}
+    assert (df.n_returns >= df.return_number).all()
+    assert df.intensity.between(0, 65535).all()
+    assert np.isfinite(df.gps_time).all()
+    # gps times are week seconds: monotone-ish flight lines, all positive
+    assert df.gps_time.min() > 0
+
+
+@needs_chablais
+def test_laz_roundtrip_through_own_writer(chablais_df, tmp_path, spark):
+    """Decoded .laz points survive the engine's own LAS 1.2 writer and
+    distributed reader bit-exactly (same 0.01 grid => quantization is a
+    no-op)."""
+    from lidartree_spark.las import read_las, write_las
+    pdf = chablais_df.sort_values(["gps_time", "x", "y"]).head(20000)
+    sdf = spark.createDataFrame(
+        pdf[["x", "y", "z", "intensity", "classification", "gps_time",
+             "return_number"]])
+    out = str(tmp_path / "rt")
+    # offset (0,0,0): reader and writer then share the exact expression
+    # X_int * 0.01 + 0.0, so the double round-trip is bit-identical (a
+    # different offset reconstructs the same coordinate one ulp away)
+    write_las(sdf.repartition(4), out, scale=(0.01, 0.01, 0.01),
+              offset=(0.0, 0.0, 0.0)).collect()
+    back = read_las(spark, out).toPandas()
+    assert len(back) == 20000
+    for col in ("x", "y", "z"):
+        a = np.sort(pdf[col].to_numpy())
+        b = np.sort(back[col].to_numpy())
+        assert np.array_equal(a, b), col
+
+
+@needs_chablais
+def test_distributed_read_las_matches_driver_decode(chablais_df, spark):
+    from lidartree_spark.las import read_las
+    df = read_las(spark, CHABLAIS3)
+    import pyspark.sql.functions as F
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("xmin"), F.max("x").alias("xmax"),
+        F.sum("return_number").alias("rsum"),
+        F.sum("classification").alias("csum")).collect()[0]
+    assert row["n"] == len(chablais_df)
+    assert row["xmin"] == chablais_df.x.min()
+    assert row["xmax"] == chablais_df.x.max()
+    assert row["rsum"] == int(chablais_df.return_number.sum())
+    assert row["csum"] == int(chablais_df.classification.sum())
+
+
+def test_unsupported_variants_fail_loudly():
+    from lidartree_spark.laz import parse_laz_vlr
+
+    def vlr_bytes(compressor=2, coder=0, items=((6, 20, 2), (7, 8, 2))):
+        body = struct.pack("<HHBBHIiqqH", compressor, coder, 2, 2, 0, 0,
+                           50000, 0, 0, len(items))
+        for it in items:
+            body += struct.pack("<HHH", *it)
+        hdr = bytearray(227)
+        hdr[0:4] = b"LASF"
+        hdr[24], hdr[25] = 1, 2
+        struct.pack_into("<H", hdr, 94, 227)
+        struct.pack_into("<I", hdr, 100, 1)
+        rec = struct.pack("<H16sHH32s", 0, b"laszip encoded", 22204,
+                          len(body), b"")
+        return bytes(hdr) + rec + body
+
+    with pytest.raises(NotImplementedError, match="compressor 3"):
+        parse_laz_vlr(vlr_bytes(compressor=3))
+    with pytest.raises(NotImplementedError, match="coder 1"):
+        parse_laz_vlr(vlr_bytes(coder=1))
+    with pytest.raises(NotImplementedError, match="item type=8"):
+        parse_laz_vlr(vlr_bytes(items=((6, 20, 2), (8, 6, 2))))
+    with pytest.raises(NotImplementedError, match="item.*version=1"):
+        parse_laz_vlr(vlr_bytes(items=((6, 20, 1),)))
+
+
+def test_header_laz_gate():
+    """decode_las_header still refuses LAZ unless the caller opts in."""
+    from lidartree_spark.las import decode_las_header
+    hdr = bytearray(227)
+    hdr[0:4] = b"LASF"
+    hdr[24], hdr[25] = 1, 2
+    hdr[104] = 0x80 | 1
+    struct.pack_into("<H", hdr, 94, 227)
+    struct.pack_into("<H", hdr, 105, 28)
+    with pytest.raises(NotImplementedError, match="LAZ"):
+        decode_las_header(bytes(hdr))
+    h = decode_las_header(bytes(hdr), allow_laz=True)
+    assert h["laz"] and h["point_format"] == 1
+    # LAZ base formats beyond 1 (e.g. RGB format 3) stay loud-fail
+    hdr[104] = 0x80 | 3
+    with pytest.raises(NotImplementedError, match="base point format 3"):
+        decode_las_header(bytes(hdr), allow_laz=True)
