@@ -333,6 +333,12 @@ def run_isolated_top(results: dict, k: int = 10, n: int = 4) -> dict:
     skip = {"tile_pipeline"}  # measured by its own subprocess protocol
     names = [q for q, _ in sorted(results.items(), key=lambda kv: -kv[1])
              if q not in skip][:k]
+    # always-watch list: queries a past round flagged as regressed from a
+    # suite sample — the isolated number is the adjudicating evidence
+    # (r4 flagged both; isolated min-of-4 matched their r3 numbers)
+    for w in ("north_star_chain", "tree_detection_catalog_roi"):
+        if w in results and w not in names:
+            names.append(w)
     _await_quiet_box()
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools", "isolate_query.py"),
