@@ -340,12 +340,19 @@ def run_isolated_top(results: dict, k: int = 10, n: int = 4) -> dict:
         if w in results and w not in names:
             names.append(w)
     _await_quiet_box()
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "isolate_query.py"),
-         "--n", str(n), *names],
-        capture_output=True, text=True, check=True)
-    payload = json.loads(out.stdout.strip().splitlines()[-1])
-    return {"n": n, "queries": payload["queries"]}
+    # never let the rerun discard the whole bench artifact: a crash or
+    # empty output degrades to an error note, the suite numbers survive
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools",
+                                          "isolate_query.py"),
+             "--n", str(n), *names],
+            capture_output=True, text=True, check=True, timeout=1800)
+        payload = json.loads(out.stdout.strip().splitlines()[-1])
+        return {"n": n, "queries": payload["queries"]}
+    except (subprocess.SubprocessError, OSError, ValueError,
+            KeyError, IndexError) as e:
+        return {"n": n, "error": f"{type(e).__name__}: {e}"[:300]}
 
 
 def main() -> None:

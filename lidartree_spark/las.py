@@ -350,6 +350,14 @@ def read_las(spark, paths, chunk_records: int = 2_000_000):
                     vlr = parse_laz_vlr(head)
                     (table_off,) = _struct.unpack_from(
                         "<q", head, h["offset_to_points"])
+                    fsize = _os.path.getsize(p)
+                    if table_off < 0 or table_off + 8 > fsize:
+                        # -1 = streaming-writer sentinel (table appended
+                        # after an EVLR); out of scope, same contract as
+                        # laz.read_chunk_table
+                        raise ValueError(
+                            f"{p}: chunk table offset {table_off} out of "
+                            f"range (streaming-writer .laz unsupported)")
                     f.seek(table_off)
                     sizes = parse_chunk_sizes(f.read())
                     has_gps = int(any(it[0] == 7 for it in vlr["items"]))
@@ -386,8 +394,9 @@ def read_las(spark, paths, chunk_records: int = 2_000_000):
                     F.lit(0)).cast("long")))).alias("chunk"),
     ).withColumn("start_rec", F.col("chunk") * F.lit(chunk_records)) \
      .withColumn("n_recs",
-                 F.least(F.lit(chunk_records),
-                         F.col("n_records") - F.col("start_rec")))
+                 F.when(F.col("laz") == 1, F.col("n_records")).otherwise(
+                     F.least(F.lit(chunk_records),
+                             F.col("n_records") - F.col("start_rec"))))
 
     def parse_chunks(batches):
         from lidartree_spark.laz import decode_chunk

@@ -582,7 +582,7 @@ def parse_laz_vlr(buf: bytes) -> dict:
         if uid.rstrip(b"\x00") != b"laszip encoded" or rid != 22204:
             continue
         comp, coder, vmj, vmn, rev, _opts, chunk, _nse, _ose, nit = \
-            struct.unpack_from("<HHBBHIiqqH", body, 0)
+            struct.unpack_from("<HHBBHIIqqH", body, 0)
         items = [struct.unpack_from("<HHH", body, 34 + 6 * j)
                  for j in range(nit)]
         if comp != 2:
@@ -592,6 +592,11 @@ def parse_laz_vlr(buf: bytes) -> dict:
         if coder != 0:
             raise NotImplementedError(f"LASzip coder {coder} (arithmetic "
                                       f"coder = 0 only)")
+        if chunk == 0xFFFFFFFF or chunk == 0:
+            raise NotImplementedError(
+                "variable-size LASzip chunking (chunk_size sentinel "
+                "0xFFFFFFFF) unsupported — its chunk table interleaves "
+                "per-chunk point counts this reader does not parse")
         for ity, isz, ivr in items:
             if (ity, isz, ivr) not in ((6, 20, 2), (7, 8, 2)):
                 raise NotImplementedError(
@@ -664,6 +669,9 @@ def decode_chunk(buf: bytes, offset: int, n_points: int,
     psid = np.empty(n_points, np.int32)
     gps = np.full(n_points, np.nan, np.float64)
 
+    if n_points <= 0:
+        return {"X": X, "Y": Y, "Z": Z, "intensity": inten, "flags": flags,
+                "classification": cls, "point_source_id": psid, "gps": gps}
     pos = offset
     raw20 = buf[pos:pos + 20]
     pos += 20
@@ -712,8 +720,11 @@ def decode_laz_points(buf: bytes, hdr: dict | None = None,
     if chunks is None:
         chunks = read_chunk_table(buf, hdr["offset_to_points"],
                                   hdr["n_records"], vlr["chunk_size"])
-    parts = [decode_chunk(buf, off, npts, has_gps)
-             for off, _sz, npts in chunks]
+    if not chunks:  # header-only .laz (n_records == 0)
+        parts = [decode_chunk(b"", 0, 0, has_gps)]
+    else:
+        parts = [decode_chunk(buf, off, npts, has_gps)
+                 for off, _sz, npts in chunks]
     cols = {k: np.concatenate([p[k] for p in parts])
             for k in parts[0]}
     return pd.DataFrame({

@@ -127,6 +127,38 @@ def test_unsupported_variants_fail_loudly():
         parse_laz_vlr(vlr_bytes(items=((6, 20, 1),)))
 
 
+@needs_chablais
+def test_read_las_small_chunk_records_does_not_truncate(spark):
+    """chunk_records governs the UNCOMPRESSED record-range split only; a
+    .laz manifest row is one whole LASzip chunk and must never be capped
+    by it (a 30k cap on 50k-point chunks would silently drop points)."""
+    from lidartree_spark.las import read_las
+    n = read_las(spark, CHABLAIS3, chunk_records=30_000).count()
+    assert n == 92097
+
+
+def test_variable_chunking_fails_loudly():
+    from lidartree_spark.laz import parse_laz_vlr
+
+    body = struct.pack("<HHBBHIIqqH", 2, 0, 2, 2, 0, 0, 0xFFFFFFFF,
+                       0, 0, 1) + struct.pack("<HHH", 6, 20, 2)
+    hdr = bytearray(227)
+    hdr[0:4] = b"LASF"
+    hdr[24], hdr[25] = 1, 2
+    struct.pack_into("<H", hdr, 94, 227)
+    struct.pack_into("<I", hdr, 100, 1)
+    rec = struct.pack("<H16sHH32s", 0, b"laszip encoded", 22204,
+                      len(body), b"")
+    with pytest.raises(NotImplementedError, match="variable-size"):
+        parse_laz_vlr(bytes(hdr) + rec + body)
+
+
+def test_zero_point_chunk_and_stream():
+    from lidartree_spark.laz import decode_chunk
+    c = decode_chunk(b"", 0, 0, True)
+    assert all(len(v) == 0 for v in c.values())
+
+
 def test_header_laz_gate():
     """decode_las_header still refuses LAZ unless the caller opts in."""
     from lidartree_spark.las import decode_las_header

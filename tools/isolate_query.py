@@ -59,9 +59,13 @@ def run_isolated(names, n: int = 4, sf_dir: str | None = None,
 
 if __name__ == "__main__":
     argv = sys.argv[1:]
-    n = 4
+    n, sf_dir = 4, None
     if "--n" in argv:
         i = argv.index("--n")
         n = int(argv[i + 1])
         del argv[i:i + 2]
-    print(json.dumps(run_isolated(argv, n=n)))
+    if "--sf" in argv:
+        i = argv.index("--sf")
+        sf_dir = argv[i + 1]
+        del argv[i:i + 2]
+    print(json.dumps(run_isolated(argv, n=n, sf_dir=sf_dir)))
