@@ -63,6 +63,7 @@ def encode_las(x: np.ndarray, y: np.ndarray, z: np.ndarray,
                intensity: np.ndarray | None = None,
                gps_time: np.ndarray | None = None,
                return_number: np.ndarray | None = None,
+               n_returns: np.ndarray | None = None,
                scale: tuple[float, float, float] = (0.001, 0.001, 0.001),
                offset: tuple[float, float, float] = (0.0, 0.0, 0.0),
                point_format: int | None = None) -> bytes:
@@ -119,8 +120,11 @@ def encode_las(x: np.ndarray, y: np.ndarray, z: np.ndarray,
     rn = (_checked("return_number", return_number, 1, 7, np.uint8)
           if return_number is not None else np.ones(n, dtype=np.uint8))
     # flags byte: return number (3 bits) | number of returns (3 bits);
-    # single-return convention: n_returns = max(rn, 1)
-    rec["flags"] = (rn & 0x7) | ((np.maximum(rn, 1) & 0x7) << 3)
+    # with no n_returns given, fall back to max(rn, 1) — "this return is
+    # the last" — the lossy single-return convention
+    nr = (_checked("n_returns", n_returns, 1, 7, np.uint8)
+          if n_returns is not None else np.maximum(rn, 1))
+    rec["flags"] = (rn & 0x7) | ((nr & 0x7) << 3)
     if gps_time is not None and "gps_time" in dt.names:
         rec["gps_time"] = np.asarray(gps_time, dtype=np.float64)
 
@@ -270,7 +274,7 @@ def write_las(df, directory: str,
 
     cols = set(df.columns)
     opt = [c for c in ("classification", "intensity", "gps_time",
-                       "return_number") if c in cols]
+                       "return_number", "n_returns") if c in cols]
     _os.makedirs(directory, exist_ok=True)
     ext = "laz" if compress else "las"
 

@@ -6937,6 +6937,44 @@ _EXTENDED["las_lifecycle_detect"] = (_las_lifecycle_gate,
                                      _POINTS_LIFECYCLE_DUCK)
 
 
+def _laz_lifecycle_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """las_lifecycle_detect with the COMPRESSED sink: the same analytic
+    point field round-trips through write_laz (LASzip encode, one .laz
+    per partition) and read_las's chunk-parallel LASzip decode before
+    the TIN-DTM + DSM + CHM + detection chain. Oracle: points_lifecycle's
+    VERBATIM — LASzip is lossless over the quantized integers (encoder
+    and decoder are exact mirrors; round-trip pinned bit-exactly in
+    tests/test_laz.py), so compression must not move a single output
+    value. This is the DuckDB-oracle evidence for the .laz codec: the
+    rows-only laz_chablais_detect covers the real reference file, this
+    covers the engine's own compressed write->read cycle."""
+    import tempfile
+
+    from lidartree_spark.las import read_las, write_laz
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.operators.rasterize import (
+        normalize_tiles,
+        points_to_dtm_tiles,
+        points_to_tiles,
+    )
+    ground, canopy = _lifecycle_points(spark, with_class=True)
+    d = tempfile.mkdtemp(prefix="lidartree_laz_lc_")
+    pts = ground.unionByName(canopy).repartition(8)
+    write_laz(pts, d, scale=(0.25, 0.25, 0.0025)).count()
+    back = read_las(spark, d)
+    g2 = back.where("classification = 2").select("x", "y", "z")
+    dtm = points_to_dtm_tiles(g2, halo_m=8.0)
+    dsm = points_to_tiles(back.select("x", "y", "z"))
+    det = detect_trees(normalize_tiles(dsm, dtm))
+    return det.select(
+        "image_id", "x", "y", F.round("h", 3).alias("h"), "dom_radius",
+        F.round("s", 6).alias("s"), F.round("v", 3).alias("v"))
+
+
+_EXTENDED["laz_lifecycle_detect"] = (_laz_lifecycle_gate,
+                                     _POINTS_LIFECYCLE_DUCK)
+
+
 def _clustered_layout_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hilbert-clustered layout round-trip (operators/layout): 200K
     arithmetically-scattered points -> write_clustered (range shuffle on

@@ -217,11 +217,12 @@ def test_reencode_real_data_exact_and_compact(chablais_df):
                       intensity=df.intensity.to_numpy(),
                       gps_time=df.gps_time.to_numpy(),
                       return_number=df.return_number.to_numpy(),
+                      n_returns=df.n_returns.to_numpy(),
                       scale=(0.01, 0.01, 0.01))
     assert len(buf2) < 28 * len(df) / 6  # >6x vs raw records
     df2 = decode_laz_points(buf2)
     for c in ("x", "y", "z", "intensity", "classification", "gps_time",
-              "return_number"):
+              "return_number", "n_returns"):
         assert np.array_equal(df[c].to_numpy(), df2[c].to_numpy()), c
 
 
