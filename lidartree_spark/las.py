@@ -255,8 +255,12 @@ def write_las(df, directory: str,
               compress: bool = False):
     """Distributed LAS 1.2 sink: one `part-{partition:05d}.las` file per
     non-empty partition (written atomically via tmp+rename, the parquet
-    committer convention). Requires (x, y, z) columns; classification /
-    intensity / gps_time / return_number are encoded when present. The
+    committer convention). With compress=True the sink writes LASzip
+    `part-*.laz` instead (lidartree_spark.laz.encode_laz — point formats
+    0/1 only, so RGB formats raise at task time; `write_laz` is the
+    named convenience wrapper). Requires (x, y, z) columns;
+    classification / intensity / gps_time / return_number / n_returns
+    are encoded when present. The
     file is assembled per partition, so a partition must fit one task's
     memory — size the upstream repartition accordingly, exactly as with
     any file-per-partition sink. Returns an UNEXECUTED plan of
@@ -287,16 +291,12 @@ def write_las(df, directory: str,
         pdf = pd.concat(parts, ignore_index=True)
         kw = {c: pdf[c].to_numpy() for c in opt}
         if compress:
-            from lidartree_spark.laz import encode_laz
-            buf = encode_laz(pdf["x"].to_numpy(), pdf["y"].to_numpy(),
-                             pdf["z"].to_numpy(), scale=scale,
-                             offset=offset, point_format=point_format,
-                             **kw)
+            from lidartree_spark.laz import encode_laz as encode
         else:
-            buf = encode_las(pdf["x"].to_numpy(), pdf["y"].to_numpy(),
-                             pdf["z"].to_numpy(), scale=scale,
-                             offset=offset, point_format=point_format,
-                             **kw)
+            encode = encode_las
+        buf = encode(pdf["x"].to_numpy(), pdf["y"].to_numpy(),
+                     pdf["z"].to_numpy(), scale=scale, offset=offset,
+                     point_format=point_format, **kw)
         path = _os.path.join(directory, f"part-{pid:05d}.{ext}")
         tmp = path + ".inprogress"
         with open(tmp, "wb") as fh:

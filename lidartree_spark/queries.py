@@ -6910,9 +6910,18 @@ def _las_lifecycle_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured <= 1.4e-14) — four orders below the chain's own f32 noise
     (~1e-5) that the gate's ROUND(h, 3) already absorbs, and seven
     below any detection threshold/tie spacing (0.5-unit grids)."""
+    return _file_lifecycle_detect(spark, compressed=False)
+
+
+def _file_lifecycle_detect(spark: SparkSession,
+                           compressed: bool) -> DataFrame:
+    """The shared file-sink lifecycle chain of las_lifecycle_detect and
+    laz_lifecycle_detect — ONE builder so the select/round expressions
+    that must stay byte-identical to _POINTS_LIFECYCLE_DUCK cannot
+    drift between the two gates (the _lifecycle_points precedent)."""
     import tempfile
 
-    from lidartree_spark.las import read_las, write_las
+    from lidartree_spark.las import read_las, write_las, write_laz
     from lidartree_spark.operators.detection import detect_trees
     from lidartree_spark.operators.rasterize import (
         normalize_tiles,
@@ -6920,10 +6929,15 @@ def _las_lifecycle_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         points_to_tiles,
     )
     ground, canopy = _lifecycle_points(spark, with_class=True)
-    d = tempfile.mkdtemp(prefix="lidartree_las_lc_")
     pts = ground.unionByName(canopy).repartition(8)
-    write_las(pts, d, scale=(0.25, 0.25, 0.0025)).count()  # trigger sink
-    back = read_las(spark, d, chunk_records=4096)
+    if compressed:
+        d = tempfile.mkdtemp(prefix="lidartree_laz_lc_")
+        write_laz(pts, d, scale=(0.25, 0.25, 0.0025)).count()
+        back = read_las(spark, d)
+    else:
+        d = tempfile.mkdtemp(prefix="lidartree_las_lc_")
+        write_las(pts, d, scale=(0.25, 0.25, 0.0025)).count()
+        back = read_las(spark, d, chunk_records=4096)
     g2 = back.where("classification = 2").select("x", "y", "z")
     dtm = points_to_dtm_tiles(g2, halo_m=8.0)
     dsm = points_to_tiles(back.select("x", "y", "z"))
@@ -6948,27 +6962,7 @@ def _laz_lifecycle_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     value. This is the DuckDB-oracle evidence for the .laz codec: the
     rows-only laz_chablais_detect covers the real reference file, this
     covers the engine's own compressed write->read cycle."""
-    import tempfile
-
-    from lidartree_spark.las import read_las, write_laz
-    from lidartree_spark.operators.detection import detect_trees
-    from lidartree_spark.operators.rasterize import (
-        normalize_tiles,
-        points_to_dtm_tiles,
-        points_to_tiles,
-    )
-    ground, canopy = _lifecycle_points(spark, with_class=True)
-    d = tempfile.mkdtemp(prefix="lidartree_laz_lc_")
-    pts = ground.unionByName(canopy).repartition(8)
-    write_laz(pts, d, scale=(0.25, 0.25, 0.0025)).count()
-    back = read_las(spark, d)
-    g2 = back.where("classification = 2").select("x", "y", "z")
-    dtm = points_to_dtm_tiles(g2, halo_m=8.0)
-    dsm = points_to_tiles(back.select("x", "y", "z"))
-    det = detect_trees(normalize_tiles(dsm, dtm))
-    return det.select(
-        "image_id", "x", "y", F.round("h", 3).alias("h"), "dom_radius",
-        F.round("s", 6).alias("s"), F.round("v", 3).alias("v"))
+    return _file_lifecycle_detect(spark, compressed=True)
 
 
 _EXTENDED["laz_lifecycle_detect"] = (_laz_lifecycle_gate,

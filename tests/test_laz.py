@@ -165,7 +165,8 @@ def test_encode_roundtrip_random_multichunk():
     import numpy as np
     from lidartree_spark.laz import decode_laz_points, encode_laz
     rng = np.random.default_rng(11)
-    n = 120_001  # 3 chunks incl. a 1-point-past boundary
+    n = 100_001  # 3 chunks; the last holds exactly ONE point (the raw-
+    # record-only path in compress_chunk/decode_chunk)
     x = np.round(rng.uniform(0, 500, n), 2)
     y = np.round(rng.uniform(0, 500, n), 2)
     z = np.round(rng.uniform(0, 60, n), 2)
@@ -208,7 +209,8 @@ def test_encode_gpstime_jumps_and_constants():
 def test_reencode_real_data_exact_and_compact(chablais_df):
     """Re-encoding the decoded reference tile round-trips every column
     exactly and compresses at least as well as the reference's own
-    laszip stream did (measured: 390,927 vs 393,020 bytes)."""
+    laszip stream did (measured: 392,939 vs 393,020 bytes at full
+    attribute fidelity)."""
     import numpy as np
     from lidartree_spark.laz import decode_laz_points, encode_laz
     df = chablais_df
