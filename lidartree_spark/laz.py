@@ -167,48 +167,64 @@ class _Decoder:
         self.value, self.length, self.pos = v, ln, p
 
     def decode_bit(self, m: _BitModel) -> int:
-        x = m.prob0 * (self.length >> BM_SHIFT)
-        if self.value >= x:
+        # hot path: state in locals, renorm inlined (profiled ~35% of
+        # chunk decode before this shape)
+        value = self.value
+        length = self.length
+        x = m.prob0 * (length >> BM_SHIFT)
+        if value >= x:
             sym = 1
-            self.value -= x
-            self.length -= x
+            value -= x
+            length -= x
         else:
             sym = 0
-            self.length = x
+            length = x
             m.count0 += 1
-        if self.length < AC_MIN_LENGTH:
-            self._renorm()
+        if length < AC_MIN_LENGTH:
+            b, p = self.buf, self.pos
+            while True:
+                value = ((value << 8) & _M32) | b[p]
+                p += 1
+                length = (length << 8) & _M32
+                if length >= AC_MIN_LENGTH:
+                    break
+            self.pos = p
+        self.value = value
+        self.length = length
         m.until -= 1
         if m.until == 0:
             m.update()
         return sym
 
     def decode_symbol(self, m: _Model) -> int:
-        y = self.length
+        value = self.value
+        length = self.length
+        y = length
         dist = m.dist
-        if m.table is not None:
-            self.length >>= DM_SHIFT
-            dv = self.value // self.length
+        tbl = m.table
+        if tbl is not None:
+            length >>= DM_SHIFT
+            dv = value // length
             t = dv >> m.table_shift
-            sym = m.table[t]
-            n = m.table[t + 1] + 1
+            sym = tbl[t]
+            n = tbl[t + 1] + 1
             while n > sym + 1:
                 k = (sym + n) >> 1
                 if dist[k] > dv:
                     n = k
                 else:
                     sym = k
-            x = dist[sym] * self.length
+            x = dist[sym] * length
             if sym != m.last:
-                y = dist[sym + 1] * self.length
+                y = dist[sym + 1] * length
         else:
             x = sym = 0
-            self.length >>= DM_SHIFT
+            length >>= DM_SHIFT
             n = m.nsym
             k = n >> 1
             while True:
-                z = self.length * dist[k]
-                if z > self.value:
+                z = length * dist[k]
+                if z > value:
                     n = k
                     y = z
                 else:
@@ -217,10 +233,19 @@ class _Decoder:
                 k = (sym + n) >> 1
                 if k == sym:
                     break
-        self.value -= x
-        self.length = y - x
-        if self.length < AC_MIN_LENGTH:
-            self._renorm()
+        value -= x
+        length = y - x
+        if length < AC_MIN_LENGTH:
+            b, p = self.buf, self.pos
+            while True:
+                value = ((value << 8) & _M32) | b[p]
+                p += 1
+                length = (length << 8) & _M32
+                if length >= AC_MIN_LENGTH:
+                    break
+            self.pos = p
+        self.value = value
+        self.length = length
         m.count[sym] += 1
         m.until -= 1
         if m.until == 0:
