@@ -248,6 +248,52 @@ def test_write_laz_sink_reads_back(chablais_df, tmp_path, spark):
                               np.sort(back[col].to_numpy())), col
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 2500),
+           st.booleans())
+    def test_encode_roundtrip_property(seed, n, with_gps):
+        """Property guard: ANY attribute pattern round-trips exactly —
+        clustered coords, correlated returns, constant runs, sign
+        flips; both point formats."""
+        import numpy as np
+        from lidartree_spark.laz import decode_laz_points, encode_laz
+        rng = np.random.default_rng(seed)
+        # mix smooth flight-line-ish coords with hard jumps
+        x = np.round(np.cumsum(rng.choice([-5, -0.01, 0, 0.01, 5], n)), 2)
+        y = np.round(np.cumsum(rng.choice([-3, 0, 0.02], n)), 2)
+        z = np.round(rng.uniform(-100, 100, n), 2)
+        rn = rng.integers(1, 8, n)
+        nr = np.maximum(rn, rng.integers(1, 8, n))
+        kw = {}
+        if with_gps:
+            kw["gps_time"] = np.where(
+                rng.random(n) < 0.3, 42.0,
+                np.round(rng.uniform(-1e6, 1e9, n), 6))
+        buf = encode_laz(x, y, z,
+                         classification=rng.integers(0, 256, n),
+                         intensity=rng.integers(0, 65536, n),
+                         return_number=rn, n_returns=nr,
+                         scale=(0.01, 0.01, 0.01), chunk_size=997, **kw)
+        df = decode_laz_points(buf)
+        assert len(df) == n
+        assert np.array_equal(df.x.to_numpy(), np.rint(x / 0.01) * 0.01)
+        assert np.array_equal(df.y.to_numpy(), np.rint(y / 0.01) * 0.01)
+        assert np.array_equal(df.z.to_numpy(), np.rint(z / 0.01) * 0.01)
+        assert np.array_equal(df.return_number.to_numpy(), rn)
+        assert np.array_equal(df.n_returns.to_numpy(), nr)
+        if with_gps:
+            assert np.array_equal(df.gps_time.to_numpy(), kw["gps_time"])
+
+
 def test_header_laz_gate():
     """decode_las_header still refuses LAZ unless the caller opts in."""
     from lidartree_spark.las import decode_las_header
