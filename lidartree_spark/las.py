@@ -426,7 +426,7 @@ def read_las(spark, paths, chunk_records: int = 2_000_000):
                              F.col("n_records") - F.col("start_rec"))))
 
     def parse_chunks(batches):
-        from lidartree_spark.laz import decode_chunk
+        from lidartree_spark.laz import chunk_to_frame, decode_chunk
         for pdf in batches:
             for rec in pdf.itertuples(index=False):
                 if rec.n_recs <= 0:
@@ -440,17 +440,9 @@ def read_las(spark, paths, chunk_records: int = 2_000_000):
                     # exact-sized chunk slice so that lookahead is defined
                     c = decode_chunk(raw + b"\x00" * 16, 0, int(rec.n_recs),
                                      bool(rec.has_gps))
-                    out = pd.DataFrame({
-                        "x": c["X"] * rec.scale_x + rec.off_x,
-                        "y": c["Y"] * rec.scale_y + rec.off_y,
-                        "z": c["Z"] * rec.scale_z + rec.off_z,
-                        "intensity": c["intensity"],
-                        "return_number": c["flags"] & 0x7,
-                        "n_returns": (c["flags"] >> 3) & 0x7,
-                        "classification": c["classification"],
-                        "gps_time": c["gps"],
-                        "point_source_id": c["point_source_id"],
-                    })
+                    out = chunk_to_frame(c, rec.scale_x, rec.scale_y,
+                                         rec.scale_z, rec.off_x,
+                                         rec.off_y, rec.off_z)
                     out["path"] = rec.path
                     yield out
                     continue

@@ -1241,10 +1241,22 @@ def decode_laz_points(buf: bytes, hdr: dict | None = None,
                  for off, _sz, npts in chunks]
     cols = {k: np.concatenate([p[k] for p in parts])
             for k in parts[0]}
+    return chunk_to_frame(cols, hdr["scale_x"], hdr["scale_y"],
+                          hdr["scale_z"], hdr["off_x"], hdr["off_y"],
+                          hdr["off_z"])
+
+
+def chunk_to_frame(cols: dict, sx: float, sy: float, sz: float,
+                   ox: float, oy: float, oz: float) -> pd.DataFrame:
+    """decode_chunk column dict -> POINTS_SCHEMA frame. The ONE place
+    the scale/offset reconstruction and flags decomposition live, so the
+    driver-side decoder and the distributed reader (las.read_las) cannot
+    drift expression-wise — driver-vs-distributed parity depends on both
+    computing the identical doubles."""
     return pd.DataFrame({
-        "x": cols["X"] * hdr["scale_x"] + hdr["off_x"],
-        "y": cols["Y"] * hdr["scale_y"] + hdr["off_y"],
-        "z": cols["Z"] * hdr["scale_z"] + hdr["off_z"],
+        "x": cols["X"] * sx + ox,
+        "y": cols["Y"] * sy + oy,
+        "z": cols["Z"] * sz + oz,
         "intensity": cols["intensity"],
         "return_number": cols["flags"] & 0x7,
         "n_returns": (cols["flags"] >> 3) & 0x7,
