@@ -7066,6 +7066,31 @@ def _laz_chablais_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NO_ORACLE["laz_chablais_detect"] = _laz_chablais_detect
 
 
+def _geotiff_spike_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crowns_spike THROUGH THE GeoTIFF CYCLE: the spike corpus writes
+    to one georeferenced .tif per tile (lidartree_spark.tiff — the
+    on-disk form of the reference's terra rasters), reads back via the
+    grid-aligned distributed source, then runs the full crown=True
+    detection chain. Oracle: crowns_spike's VERBATIM — the float32
+    raster round-trip is lossless (uncompressed strips, same dtype), so
+    the interchange format must not move a single detection or WKT
+    vertex. DuckDB-oracle evidence for the raster source/sink, the
+    exact analog of laz_lifecycle_detect on the point side."""
+    import tempfile
+
+    from lidartree_spark.operators.detection import detect_trees
+    from lidartree_spark.tiff import read_geotiff_tiles, write_geotiff_tiles
+    d = tempfile.mkdtemp(prefix="lidartree_tif_")
+    write_geotiff_tiles(_spike_tiles(spark), d).count()
+    back = read_geotiff_tiles(spark, d)
+    det = detect_trees(back, crown=True)
+    return det.select("image_id", "x", "y", "h", "crown")
+
+
+_EXTENDED["geotiff_spike_detect"] = (_geotiff_spike_gate,
+                                     _CROWNS_SPIKE_DUCK)
+
+
 # --- Round-5 driver-budget repack (final round): the last two reference
 # codepaths without driver-row evidence — crowns_spike (crown=True WKT
 # end-to-end) and tree_metrics_spike (clouds_tree_metrics end-to-end) —
