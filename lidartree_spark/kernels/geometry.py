@@ -13,9 +13,47 @@ _NUM = re.compile(r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?")
 
 
 def parse_wkt_polygon(wkt: str) -> np.ndarray:
-    """Parse the outer ring of a WKT POLYGON into an (n, 2) array."""
+    """Parse the outer ring of a WKT POLYGON into an (n, 2) array.
+
+    Accepts GeoJSON too (the other interchange form a migrating sf/terra
+    user holds): a JSON string or dict with a Polygon geometry — bare
+    geometry, Feature, or single-feature FeatureCollection."""
+    if isinstance(wkt, dict) or wkt.lstrip().startswith("{"):
+        return parse_geojson_polygon(wkt)
     nums = [float(m) for m in _NUM.findall(wkt.split("),")[0])]
     return np.array(nums, dtype=np.float64).reshape(-1, 2)
+
+
+def parse_geojson_polygon(obj) -> np.ndarray:
+    """Outer ring of a GeoJSON Polygon -> (n, 2) array. Takes a JSON
+    string or an already-parsed dict; unwraps Feature /
+    FeatureCollection (single feature). MultiPolygon and multi-feature
+    collections raise — a silent first-part pick would clip ROIs
+    wrongly."""
+    import json
+
+    g = json.loads(obj) if isinstance(obj, str) else obj
+    if g.get("type") == "FeatureCollection":
+        feats = g.get("features", [])
+        if len(feats) != 1:
+            raise ValueError(
+                f"FeatureCollection with {len(feats)} features — pass the "
+                f"one polygon feature (a silent first-pick would clip "
+                f"ROIs wrongly)")
+        g = feats[0]
+    if g.get("type") == "Feature":
+        g = g.get("geometry") or {}
+    if g.get("type") != "Polygon":
+        raise NotImplementedError(
+            f"GeoJSON geometry type {g.get('type')!r} unsupported "
+            f"(Polygon only; split MultiPolygons upstream)")
+    ring = np.asarray(g["coordinates"][0], dtype=np.float64)
+    if ring.ndim != 2 or ring.shape[1] < 2:
+        raise ValueError(f"malformed Polygon ring shape {ring.shape}")
+    ring = ring[:, :2]
+    if not np.array_equal(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])  # close the ring (WKT habit)
+    return ring
 
 
 def points_in_polygon(x: np.ndarray, y: np.ndarray, ring: np.ndarray) -> np.ndarray:

@@ -167,6 +167,40 @@ def test_detect_and_match_equals_shuffle_path(spark):
         assert fused[k][1] == pytest.approx(shuffled[k][1])
 
 
+def test_geojson_roi_equals_wkt_roi():
+    """parse_wkt_polygon accepts GeoJSON (string / dict / Feature /
+    single-feature collection) and yields the identical ring; unsafe
+    shapes fail loudly."""
+    import json
+
+    import numpy as np
+    import pytest as _pt
+    from lidartree_spark.kernels.geometry import (
+        parse_geojson_polygon,
+        parse_wkt_polygon,
+    )
+
+    wkt = "POLYGON ((64 10, 118 64, 64 118, 10 64, 64 10))"
+    coords = [[64, 10], [118, 64], [64, 118], [10, 64], [64, 10]]
+    gj = {"type": "Polygon", "coordinates": [coords]}
+    want = parse_wkt_polygon(wkt)
+    assert np.array_equal(parse_wkt_polygon(json.dumps(gj)), want)
+    assert np.array_equal(parse_geojson_polygon(gj), want)
+    feat = {"type": "Feature", "properties": {}, "geometry": gj}
+    assert np.array_equal(parse_geojson_polygon(feat), want)
+    fc = {"type": "FeatureCollection", "features": [feat]}
+    assert np.array_equal(parse_geojson_polygon(json.dumps(fc)), want)
+    # unclosed ring gets closed
+    open_gj = {"type": "Polygon", "coordinates": [coords[:-1]]}
+    assert np.array_equal(parse_geojson_polygon(open_gj), want)
+    with _pt.raises(NotImplementedError, match="MultiPolygon"):
+        parse_geojson_polygon({"type": "MultiPolygon",
+                               "coordinates": [[coords]]})
+    with _pt.raises(ValueError, match="2 features"):
+        parse_geojson_polygon({"type": "FeatureCollection",
+                               "features": [feat, feat]})
+
+
 def test_tree_detection_catalog_roi(spark):
     """Composed catalog entry point == manual prune+halo+detect then exact
     PIP clip; ROI=None returns the plain halo detection."""
