@@ -43,11 +43,15 @@ _NAMES = {0: "Null", 1: "Point", 3: "PolyLine", 5: "Polygon",
 
 
 def _ring_to_wkt(points: np.ndarray, parts: list[int]) -> str:
+    # repr = shortest round-trip decimal: %g's 6 significant digits
+    # collapse UTM northings (4500000.75 -> 4.5e+06), degenerating every
+    # real-world plot boundary
     rings = []
     bounds = parts + [len(points)]
     for a, b in zip(bounds[:-1], bounds[1:]):
         ring = points[a:b]
-        rings.append("(" + ", ".join(f"{x:g} {y:g}" for x, y in ring) + ")")
+        rings.append("(" + ", ".join(f"{x!r} {y!r}" for x, y in ring)
+                     + ")")
     return "POLYGON (" + ", ".join(rings) + ")"
 
 
@@ -123,7 +127,10 @@ def decode_dbf(buf: bytes) -> pd.DataFrame:
             continue
         off = 1
         for name, ftype, flen, fdec in fields:
-            raw = rec[off:off + flen].decode("ascii", "replace").strip()
+            # cp1252: what GDAL/sf write by default (ASCII-compatible,
+            # and every byte decodes — no replacement-char mangling of
+            # accented species names)
+            raw = rec[off:off + flen].decode("cp1252", "replace").strip()
             off += flen
             if ftype in ("N", "F"):
                 if raw in ("", "*" * flen):
@@ -183,37 +190,56 @@ def shapefile_to_df(spark, path: str):
 
 def _dbf_bytes(attrs: pd.DataFrame) -> bytes:
     fields = []
+    used: dict[str, int] = {}
+
+    def short(name: str) -> str:
+        # dbf caps names at 10 chars; de-duplicate truncations with
+        # numeric suffixes (species_latin/species_local must not both
+        # become 'species_la' — duplicate keys mis-assemble on read)
+        s = name[:10]
+        if s in used:
+            used[s] += 1
+            s = f"{s[:8]}_{used[s]}"
+        else:
+            used[s] = 0
+        return s
+
     for name in attrs.columns:
         s = attrs[name]
-        if s.dtype.kind in "if":
-            fields.append((name[:10], "N", 19, 6))
+        if s.dtype.kind in "iu":
+            fields.append((name, short(name), "N", 19, 0))
+        elif s.dtype.kind == "f":
+            fields.append((name, short(name), "N", 19, 6))
         elif s.dtype.kind == "b":
-            fields.append((name[:10], "L", 1, 0))
+            fields.append((name, short(name), "L", 1, 0))
         else:
             longest = s.astype(str).str.len().max() if len(s) else 1
             width = max(1, min(254, int(longest)))
-            fields.append((name[:10], "C", width, 0))
-    rec_size = 1 + sum(f[2] for f in fields)
+            fields.append((name, short(name), "C", width, 0))
+    rec_size = 1 + sum(f[3] for f in fields)
     hdr_size = 32 + 32 * len(fields) + 1
     out = bytearray(struct.pack("<BBBBIHH20x", 0x03, 95, 1, 1,
                                 len(attrs), hdr_size, rec_size))
-    for name, ftype, flen, fdec in fields:
+    for _orig, name, ftype, flen, fdec in fields:
         out += struct.pack("<11sc4xBB14x", name.encode("ascii"),
                            ftype.encode(), flen, fdec)
     out += b"\x0D"
     for _, row in attrs.iterrows():
         out += b" "
-        for name, ftype, flen, fdec in fields:
-            v = row[name]
+        for orig, _name, ftype, flen, fdec in fields:
+            v = row[orig]
             if ftype == "N":
-                txt = "" if v is None or (isinstance(v, float)
-                                          and np.isnan(v)) \
-                    else f"{float(v):.6f}"
+                if v is None or (isinstance(v, float) and np.isnan(v)):
+                    txt = ""
+                elif fdec == 0:
+                    txt = str(int(v))
+                else:
+                    txt = f"{float(v):.{fdec}f}"
                 out += txt.rjust(flen)[:flen].encode("ascii")
             elif ftype == "L":
                 out += (b"T" if v else b"F")
             else:
-                out += str(v).ljust(flen)[:flen].encode("ascii",
+                out += str(v).ljust(flen)[:flen].encode("cp1252",
                                                         "replace")
     out += b"\x1a"
     return bytes(out)
@@ -225,12 +251,16 @@ def write_shapefile(df: pd.DataFrame, path: str):
     `wkt` column is (POLYGON strings, outer ring only)."""
     from lidartree_spark.kernels.geometry import parse_wkt_polygon
 
+    if len(df) == 0:
+        raise ValueError(
+            "write_shapefile: empty DataFrame (a shapefile header needs "
+            "a bounding box; filter upstream or skip the export)")
     records = []
     if "wkt" in df.columns:
         stype = _SHAPE_POLYGON
         attr_cols = [c for c in df.columns if c != "wkt"]
-        for w in df["wkt"]:
-            ring = parse_wkt_polygon(w)
+        rings = [parse_wkt_polygon(w) for w in df["wkt"]]
+        for ring in rings:
             content = struct.pack("<i", stype)
             content += struct.pack("<4d", ring[:, 0].min(),
                                    ring[:, 1].min(), ring[:, 0].max(),
@@ -240,10 +270,8 @@ def write_shapefile(df: pd.DataFrame, path: str):
             content += np.ascontiguousarray(ring,
                                             dtype="<f8").tobytes()
             records.append(content)
-        xs = np.concatenate([parse_wkt_polygon(w)[:, 0]
-                             for w in df["wkt"]])
-        ys = np.concatenate([parse_wkt_polygon(w)[:, 1]
-                             for w in df["wkt"]])
+        xs = np.concatenate([r[:, 0] for r in rings])
+        ys = np.concatenate([r[:, 1] for r in rings])
     else:
         has_z = "z" in df.columns and df["z"].notna().any()
         stype = _SHAPE_POINTZ if has_z else _SHAPE_POINT

@@ -264,13 +264,20 @@ def write_geotiff_tiles(tiles, directory: str, res: float = 0.5):
         emit, schema="path string, image_id string")
 
 
-def read_geotiff_tiles(spark, paths):
+def read_geotiff_tiles(spark, paths, res: float = 0.5):
     """Distributed GeoTIFF source: directory/glob/list of grid-aligned
     .tif files -> TILES_SCHEMA DataFrame (fmt raw_f32, phash 0). The
     engine's `t{row}_{col}` id is re-derived from each file's georef;
     a raster whose tiepoint does not sit on the (w*res, h*res) tile
     grid raises — assigning it to the nearest tile would silently
-    corrupt every georeferenced join downstream."""
+    corrupt every georeferenced join downstream.
+
+    `res` is the ENGINE resolution the ids will be interpreted at
+    (operators/grid.RES). Each file's own pixel scale must equal it:
+    a 1.0 m raster accepted into a 0.5 m grid would be self-consistent
+    yet halve every world coordinate downstream, so a mismatch raises
+    instead of rescaling. GDAL_NODATA pixels are replaced with NaN (the
+    engine's NA convention, reference raster2Cimg NA handling)."""
     import glob as _glob
     import os as _os
 
@@ -301,6 +308,16 @@ def read_geotiff_tiles(spark, paths):
                 if geo["x0"] is None or geo["res_x"] is None:
                     raise ValueError(f"{p}: no GeoTIFF georef "
                                     f"(ModelPixelScale + ModelTiepoint)")
+                if (abs(geo["res_x"] - res) > 1e-9
+                        or abs(geo["res_y"] - res) > 1e-9):
+                    raise ValueError(
+                        f"{p}: pixel scale ({geo['res_x']}, "
+                        f"{geo['res_y']}) != engine resolution {res} — "
+                        f"resample first (a silent accept would halve/"
+                        f"double every world coordinate downstream)")
+                if geo["nodata"] is not None:
+                    arr = arr.astype(np.float32, copy=True)
+                    arr[arr == np.float32(geo["nodata"])] = np.nan
                 h, w = arr.shape
                 tw, th = w * geo["res_x"], h * geo["res_y"]
                 col = geo["x0"] / tw

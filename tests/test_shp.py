@@ -61,6 +61,58 @@ def test_polygon_layer_roundtrips_to_engine_wkt(tmp_path):
                               parse_wkt_polygon(want))
 
 
+def test_utm_polygon_precision_survives(tmp_path):
+    """Full-precision WKT: UTM-scale coordinates must not collapse (a
+    6-significant-digit format turned a 32 m plot into a degenerate
+    line)."""
+    from lidartree_spark.kernels.geometry import parse_wkt_polygon
+    ring = [(500000.25, 4500000.75), (500032.25, 4500000.75),
+            (500032.25, 4500032.75), (500000.25, 4500032.75),
+            (500000.25, 4500000.75)]
+    wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in ring) + "))"
+    p = str(tmp_path / "utm.shp")
+    write_shapefile(pd.DataFrame({"wkt": [wkt]}), p)
+    back = read_shapefile(p)["wkt"][0]
+    assert np.array_equal(parse_wkt_polygon(back),
+                          np.array(ring, dtype=np.float64))
+
+
+def test_int_attrs_roundtrip_as_int_and_names_deduplicate(tmp_path):
+    df = pd.DataFrame({
+        "x": [1.0], "y": [2.0],
+        "plot_id": np.array([7], dtype=np.int64),
+        "count_u": np.array([9], dtype=np.uint32),
+        "species_latin": ["Abies alba"],
+        "species_local": ["sapin"],
+    })
+    p = str(tmp_path / "ints.shp")
+    write_shapefile(df, p)
+    back = read_shapefile(p)
+    assert back["plot_id"][0] == 7 and back["plot_id"].dtype.kind == "i"
+    assert back["count_u"][0] == 9 and back["count_u"].dtype.kind == "i"
+    # truncated 10-char names de-duplicated, not collided
+    cols = set(back.columns)
+    assert "species_la" in cols
+    assert any(c.startswith("species_") and c != "species_la"
+               for c in cols - {"species_la"})
+    vals = {back[c][0] for c in cols if c.startswith("species")}
+    assert vals == {"Abies alba", "sapin"}
+
+
+def test_cp1252_species_names_roundtrip(tmp_path):
+    df = pd.DataFrame({"x": [1.0], "y": [2.0],
+                       "species": ["Épicéa commun"]})
+    p = str(tmp_path / "acc.shp")
+    write_shapefile(df, p)
+    assert read_shapefile(p)["species"][0] == "Épicéa commun"
+
+
+def test_empty_dataframe_raises_clearly(tmp_path):
+    with pytest.raises(ValueError, match="empty DataFrame"):
+        write_shapefile(pd.DataFrame({"x": [], "y": []}),
+                        str(tmp_path / "e.shp"))
+
+
 def test_unsupported_shape_type_fails_loudly(tmp_path):
     hdr = struct.pack(">i5ii", 9994, 0, 0, 0, 0, 0, 50)
     hdr += struct.pack("<2i", 1000, 3)  # PolyLine

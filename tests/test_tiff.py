@@ -138,6 +138,29 @@ def test_distributed_roundtrip_and_detect(spark, tmp_path):
     assert det_a == det_b
 
 
+def test_resolution_mismatch_rejected(spark, tmp_path):
+    """A self-aligned 1.0 m raster must NOT load into the 0.5 m engine
+    grid — that would silently halve every world coordinate."""
+    arr = np.zeros((64, 64), np.float32)
+    p = tmp_path / "res1.tif"
+    p.write_bytes(encode_geotiff(arr, x0=64.0, y1=128.0, res=1.0))
+    with pytest.raises(Exception, match="engine resolution"):
+        read_geotiff_tiles(spark, str(tmp_path)).collect()
+
+
+def test_nodata_pixels_become_nan(spark, tmp_path):
+    arr = np.full((64, 64), 5.0, np.float32)
+    arr[0, 0] = -9999.0
+    p = tmp_path / "nd.tif"
+    p.write_bytes(encode_geotiff(arr, x0=0.0, y1=32.0, res=0.5,
+                                 nodata=-9999.0))
+    from lidartree_spark.codecs import decode_tile
+    row = read_geotiff_tiles(spark, str(tmp_path)).collect()[0]
+    a = decode_tile(row["bytes"], row["fmt"], row["w"], row["h"])
+    assert np.isnan(a[0, 0]) and a[1, 1] == 5.0
+    assert np.isnan(a).sum() == 1
+
+
 def test_off_grid_raster_rejected(spark, tmp_path):
     arr = np.zeros((64, 64), np.float32)
     p = tmp_path / "off.tif"
