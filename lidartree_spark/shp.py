@@ -2,11 +2,12 @@
 GeoTIFF raster source.
 
 The reference's field-inventory inputs (tree positions for
-tree_matching, plot polygons for ROI work) are sf objects whose on-disk
-form is overwhelmingly the shapefile; `sf::st_read("plots.shp")` is the
-first line of most lidaRtRee user scripts. Written from the public "ESRI
-Shapefile Technical Description" (July 1998) and the dBASE III header
-layout; no external geo library.
+tree_matching — tree_inventory_chablais3-data.R ships one; plot/ROI
+polygons — sf objects throughout /root/reference/R/tree_detection.R:33-91)
+are sf features whose on-disk form is overwhelmingly the shapefile;
+`sf::st_read("plots.shp")` is the first line of most lidaRtRee user
+scripts. Written from the public "ESRI Shapefile Technical Description"
+(July 1998) and the dBASE III header layout; no external geo library.
 
 Supported surface (loud-fail beyond it): shape types Point (1),
 PointZ (11), PointM (21) and Polygon (5); attributes via the .dbf

@@ -1,10 +1,12 @@
 """Minimal GeoTIFF raster codec + distributed tile source/sink.
 
-The reference's rasters live as terra/raster objects whose on-disk form
-is GeoTIFF (every lidaRtRee vignette starts from a .tif CHM), so this is
-the raster interchange path for migrating users — the raster twin of the
-LAS/LAZ point source. Written from the public TIFF 6.0 specification and
-the OGC GeoTIFF standard; no external imaging library.
+The reference's rasters live as terra SpatRaster objects
+(/root/reference/R/common.R:67,119 builds them; chm_chablais3-data.R:19
+and every vignette load a CHM via terra::rast) whose on-disk form is
+GeoTIFF, so this is the raster interchange path for migrating users —
+the raster twin of the LAS/LAZ point source. Written from the public
+TIFF 6.0 specification and the OGC GeoTIFF standard; no external
+imaging library.
 
 Supported surface (loud-fail beyond it, same policy as every codec in
 this repo):
