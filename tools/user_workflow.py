@@ -34,9 +34,7 @@ X_OFF, Y_OFF = 974326.0, 6581619.0
 
 
 def main(out_dir: str | None = None) -> dict:
-    import pandas as pd
-
-    from lidartree_spark.las import read_las
+    from lidartree_spark.las import decode_las_header, read_las
     from lidartree_spark.operators.detection import detect_trees
     from lidartree_spark.operators.matching import match_trees
     from lidartree_spark.operators.rasterize import (
@@ -50,13 +48,16 @@ def main(out_dir: str | None = None) -> dict:
 
     out_dir = out_dir or tempfile.mkdtemp(prefix="lidartree_demo_")
     os.makedirs(out_dir, exist_ok=True)
-    spark = get_spark("user-workflow", master="local[16]")
+    spark = get_spark("user-workflow")  # local[*] on the user's machine
     try:
-        # 1. the reference's own compressed point cloud
+        # 1. the reference's own compressed point cloud (point count from
+        # the 227-byte header — no decode pass just to count)
+        with open(CHABLAIS3, "rb") as f:
+            n_points = decode_las_header(f.read(512),
+                                         allow_laz=True)["n_records"]
         pts = read_las(spark, CHABLAIS3)
         local = pts.selectExpr(f"x - {X_OFF} AS x", f"y - {Y_OFF} AS y",
                                "z", "classification")
-        n_points = local.count()
 
         # 2. CHM = DSM - TIN DTM (ground = ASPRS class 2)
         ground = local.where("classification = 2").select("x", "y", "z")
@@ -64,10 +65,11 @@ def main(out_dir: str | None = None) -> dict:
         dsm = points_to_tiles(local.select("x", "y", "z"))
         chm = normalize_tiles(dsm, dtm)
 
-        # 3. detection (the chm plan is reused by two consumers; at this
-        # corpus size recompute beats caching — see north_star notes)
-        det = detect_trees(chm)
-        det_pdf = det.toPandas()
+        # 3. detection — collected once; downstream consumers (matcher,
+        # shapefile export) reuse det_pdf instead of re-running the
+        # decode -> TIN -> CHM -> segment chain per action
+        det_pdf = detect_trees(chm).toPandas()
+        det = spark.createDataFrame(det_pdf)
 
         # 4. inventory arrives as a shapefile: synthesize one from the
         # detections of the EAST half (a field campaign that covered
