@@ -128,6 +128,54 @@ def test_bad_magic_rejected():
         decode_shp(b"\x00" * 100)
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    @settings(max_examples=15, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 200),
+           st.booleans())
+    def test_point_roundtrip_property(seed, n, with_z):
+        """ANY point layer — UTM-scale coords, int/float/bool/text
+        attributes with NaN holes — round-trips through .shp + .dbf."""
+        import tempfile
+
+        rng = np.random.default_rng(seed)
+        df = pd.DataFrame({
+            "x": np.round(rng.uniform(-1e6, 1e6, n), 3),
+            "y": np.round(rng.uniform(-1e7, 1e7, n), 3),
+            "ht": np.round(rng.uniform(0, 60, n), 4),
+            "plot": rng.integers(-1000, 1000, n),
+            "ok": rng.random(n) < 0.5,
+            "tag": [f"t{int(v)}" for v in rng.integers(0, 1e6, n)],
+        })
+        if with_z:
+            df.insert(2, "z", np.round(rng.uniform(0, 2000, n), 3))
+        df.loc[rng.random(n) < 0.1, "ht"] = np.nan
+        with tempfile.TemporaryDirectory() as d:
+            p = f"{d}/pts.shp"
+            write_shapefile(df, p)
+            back = read_shapefile(p)
+        assert np.array_equal(back["x"].to_numpy(), df["x"].to_numpy())
+        assert np.array_equal(back["y"].to_numpy(), df["y"].to_numpy())
+        if with_z:
+            assert np.array_equal(back["z"].to_numpy(),
+                                  df["z"].to_numpy())
+        ht = back["ht"].astype(float).to_numpy()
+        assert np.allclose(ht, df["ht"].to_numpy(),
+                           equal_nan=True, atol=1e-6)
+        assert np.array_equal(
+            np.asarray(back["plot"], dtype=np.int64),
+            df["plot"].to_numpy())
+        assert list(back["ok"]) == list(df["ok"])
+        assert list(back["tag"]) == list(df["tag"])
+
+
 def test_shapefile_to_spark_matching(spark, tmp_path):
     """Inventory .shp -> Spark -> the REAL greedy matcher against
     detections, proving the sf::st_read -> tree_matching path."""

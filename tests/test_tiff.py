@@ -161,6 +161,42 @@ def test_nodata_pixels_become_nan(spark, tmp_path):
     assert np.isnan(a).sum() == 1
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+
+if _HAVE_HYP:
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(0, 2**32 - 1), st.integers(1, 80),
+           st.integers(1, 80), st.sampled_from(["f4", "u2", "u1"]))
+    def test_codec_roundtrip_property(seed, h, w, kind):
+        """ANY array shape/dtype/content (incl. NaN, inf, subnormals
+        for f32; full range for uints) survives the codec bit-exactly
+        with its georef."""
+        rng = np.random.default_rng(seed)
+        if kind == "f4":
+            arr = rng.normal(0, 1e3, (h, w)).astype(np.float32)
+            arr[rng.random((h, w)) < 0.05] = np.nan
+            arr[rng.random((h, w)) < 0.02] = np.inf
+        elif kind == "u2":
+            arr = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+        else:
+            arr = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        x0 = float(rng.integers(-10**6, 10**6)) / 4
+        y1 = float(rng.integers(-10**6, 10**6)) / 4
+        res = float(rng.choice([0.25, 0.5, 1.0, 2.0]))
+        cap = f"tile {seed}"
+        back, geo = decode_geotiff(
+            encode_geotiff(arr, x0, y1, res, caption=cap))
+        assert np.array_equal(back, arr, equal_nan=True)
+        assert (geo["x0"], geo["y1"]) == (x0, y1)
+        assert geo["res_x"] == res and geo["caption"] == cap
+
+
 def test_off_grid_raster_rejected(spark, tmp_path):
     arr = np.zeros((64, 64), np.float32)
     p = tmp_path / "off.tif"
